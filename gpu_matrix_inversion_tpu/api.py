@@ -1,0 +1,151 @@
+"""Public flat-vector API: parity with the reference's C++ surface.
+
+Reference surface (``headers.h:7-16``, ``Matlab/mat_inv_32.h:4``):
+
+- ``matrix_inversion_FP32(vector<float>, int)  -> vector<float>``
+- ``matrix_inversion_FP64(vector<double>, int) -> vector<double>``
+- ``matrix_inversion_no_pivots(vector<double>, int) -> vector<double>``
+- ``FP32_bench / FP64_bench / no_pivots_bench   -> Res`` (timings + inverse)
+- ``matrix_inv_32`` (the shipped MATLAB-facing library entry point)
+- ``matrix_multiply(inverse, A, N) -> double``  (residual check)
+
+Contract: flat row-major vector + matrix order in; inverse as flat vector
+out; **empty vector** on any failure -- non-square input, order <= 0, or a
+singular matrix (``matrix_inversion_FP32.cpp:11-12``, ``README.md:53-54``,
+``mat_inv_32.cpp:206-215``). This module is the host-side shell; all compute
+routes through :mod:`gpu_matrix_inversion_tpu.models.solver` onto TPU.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpu_matrix_inversion_tpu.models import solver
+from gpu_matrix_inversion_tpu.utils.res import Res, PhaseTimer
+from gpu_matrix_inversion_tpu.utils.validation import validate_flat_matrix
+from gpu_matrix_inversion_tpu.utils.residual import reference_error_metric
+
+
+def _x64_scope(dtype):
+    """Enable float64 semantics for the FP64 paths when not globally on."""
+    if dtype == np.float64 and not jax.config.jax_enable_x64:
+        return jax.enable_x64(True)
+    return contextlib.nullcontext()
+
+
+def _invert_flat(flat, order: int, dtype, *, pivot: bool,
+                 method: str = "auto") -> np.ndarray:
+    """Shared flat-vector inversion core; returns flat inverse or empty."""
+    mat = validate_flat_matrix(flat, order)
+    if mat is None:
+        return np.empty(0, dtype=dtype)
+    with _x64_scope(dtype):
+        a = jnp.asarray(mat, dtype=dtype)
+        inv, ok = solver.inverse(a, method=method, pivot=pivot)
+        inv = np.asarray(inv)
+        ok = bool(ok)
+    if not ok:
+        return np.empty(0, dtype=dtype)
+    return inv.reshape(-1).astype(dtype)
+
+
+def matrix_inv_32(flat, order: int) -> np.ndarray:
+    """The shipped product API (reference ``Matlab/mat_inv_32.h:4``):
+    FP32, partial pivoting, flat row-major in/out, empty on failure."""
+    return _invert_flat(flat, order, np.float32, pivot=True)
+
+
+def matrix_inversion_fp32(flat, order: int) -> np.ndarray:
+    """Reference ``matrix_inversion_FP32()`` (headers.h:8)."""
+    return _invert_flat(flat, order, np.float32, pivot=True)
+
+
+def matrix_inversion_fp64(flat, order: int) -> np.ndarray:
+    """Reference ``matrix_inversion_FP64()`` (headers.h:9).
+
+    Note (SURVEY.md section 7, hard part c): FP64 on TPU is emulated/slow;
+    this keeps API parity while the performance path is FP32 (+refinement).
+    """
+    return _invert_flat(flat, order, np.float64, pivot=True)
+
+
+def matrix_inversion_no_pivots(flat, order: int) -> np.ndarray:
+    """Reference ``matrix_inversion_no_pivots()`` (headers.h:10): FP64
+    Gauss-Jordan assuming a nonzero diagonal throughout elimination."""
+    return _invert_flat(flat, order, np.float64, pivot=False)
+
+
+def _bench(flat, order: int, dtype, *, pivot: bool) -> Res:
+    """Shared bench core: phase-timed inversion returning a ``Res``.
+
+    Phase mapping from the reference's slots (``FP32_bench.cpp:256-443``):
+    buffers -> device transfer; compile -> trace+jit compile;
+    make_augmented/pivot/row/column -> fused into total_compute (one XLA
+    program replaces the reference's 5-kernel x N-iteration host loop);
+    get_inverted -> readback.
+    """
+    timer = PhaseTimer()
+    res = Res()
+    mat = validate_flat_matrix(flat, order)
+    if mat is None:
+        res.ok = False
+        res.times = dict(timer.times, total=timer.total())
+        return res
+    with _x64_scope(dtype):
+        with timer.span("buffers"):
+            a = jax.device_put(jnp.asarray(mat, dtype=dtype))
+            a.block_until_ready()
+        with timer.span("compile"):
+            # Warm-up on the same shape triggers trace + XLA compile.
+            inv, ok = solver.inverse(a, pivot=pivot)
+            jax.block_until_ready((inv, ok))
+        with timer.span("total_compute"):
+            inv, ok = solver.inverse(a, pivot=pivot)
+            jax.block_until_ready((inv, ok))
+        with timer.span("get_inverted"):
+            out = np.asarray(inv).reshape(-1)
+            res.ok = bool(ok)
+    if not res.ok:
+        out = np.empty(0, dtype=dtype)
+    if dtype == np.float64:
+        res.inversa64 = out.astype(np.float64)
+    else:
+        res.inversa32 = out.astype(np.float32)
+    res.times = dict(timer.times, total=timer.total())
+    return res
+
+
+def fp32_bench(flat, order: int) -> Res:
+    """Reference ``FP32_bench()`` (headers.h:13, FP32_bench.cpp:11)."""
+    return _bench(flat, order, np.float32, pivot=True)
+
+
+def fp64_bench(flat, order: int) -> Res:
+    """Reference ``FP64_bench()`` (headers.h:14, FP64_bench.cpp:11)."""
+    return _bench(flat, order, np.float64, pivot=True)
+
+
+def no_pivots_bench(flat, order: int) -> Res:
+    """Reference ``matrix_inversion_no_pivots_bench()`` (headers.h:15).
+
+    (The reference declares this but ships an empty ``no_pivot_bench.cpp``;
+    SURVEY.md C10. Implemented for real here.)
+    """
+    return _bench(flat, order, np.float64, pivot=False)
+
+
+def matrix_multiply(inverse_flat, a_flat, order: int) -> float:
+    """Verification GEMM + residual (reference ``matrix_multiply.cpp:15``):
+    computes ``sqrt(N) - ||A_inv @ A||_F`` with the product on-device (MXU)."""
+    inv = validate_flat_matrix(inverse_flat, order)
+    a = validate_flat_matrix(a_flat, order)
+    if inv is None or a is None:
+        return float("nan")
+    prod = jnp.matmul(jnp.asarray(inv, jnp.float32), jnp.asarray(a, jnp.float32),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    return reference_error_metric(np.eye(order), np.asarray(prod))

@@ -1,0 +1,91 @@
+"""Algorithm dispatch: choose the right inversion path for size/batch/dtype.
+
+This is the TPU-native replacement for the reference's compile-time variant
+selection (``#define FP32 / PIVOTS`` in ``main_file.cpp:14-18``): one entry
+point that routes to
+
+- ``spec``     pure-jnp Gauss-Jordan (executable spec; any backend)
+- ``fused``    single fused Pallas kernel, whole [A|I] resident in VMEM
+               (small N and batched workloads)
+- ``blocked``  blocked Gauss-Jordan with MXU rank-k trailing updates (large N)
+- ``lu``       LU factorization + getri-style triangular solves
+
+``auto`` picks by shape: batched or small single matrices go to ``fused``
+(falling back to ``spec`` off-TPU), large single matrices to ``blocked``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpu_matrix_inversion_tpu.ops.gauss_jordan import gauss_jordan_inverse
+
+METHODS = ("auto", "spec", "fused", "blocked", "lu")
+
+# Largest N whose augmented (N, 2N) fp32 system comfortably fits VMEM
+# (~16 MB/core): N=1024 -> 8 MB augmented + scratch.
+_FUSED_MAX_N = 1024
+_BLOCKED_MIN_N = 512
+
+
+def _resolve(method: str, a: jax.Array) -> str:
+    if method != "auto":
+        return method
+    n = a.shape[-1]
+    batched = a.ndim > 2
+    if batched and n <= _FUSED_MAX_N:
+        return "fused"
+    if n >= _BLOCKED_MIN_N:
+        return "blocked"
+    if n <= _FUSED_MAX_N:
+        return "fused"
+    return "blocked"
+
+
+def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
+            block_size: int | None = None) -> Tuple[jax.Array, jax.Array]:
+    """Invert ``a`` (shape ``(..., n, n)``); returns ``(inverse, ok)``.
+
+    ``ok`` is the singularity flag per the reference's empty-on-singular
+    contract (SURVEY.md section 2, C10).
+    """
+    if method not in METHODS:
+        raise ValueError(f"method must be one of {METHODS}, got {method!r}")
+    a = jnp.asarray(a)
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
+
+    resolved = _resolve(method, a)
+
+    if resolved == "fused":
+        try:
+            from gpu_matrix_inversion_tpu.ops.fused import fused_inverse
+            return fused_inverse(a, pivot=pivot)
+        except NotImplementedError:
+            resolved = "spec"
+    if resolved == "blocked":
+        from gpu_matrix_inversion_tpu.ops.blocked import blocked_inverse
+        kwargs = {} if block_size is None else {"block_size": block_size}
+        return blocked_inverse(a, pivot=pivot, **kwargs)
+    if resolved == "lu":
+        from gpu_matrix_inversion_tpu.ops.lu import lu_inverse
+        return lu_inverse(a)
+    return gauss_jordan_inverse(a, pivot=pivot)
+
+
+def solve(a: jax.Array, b: jax.Array, *, method: str = "auto") -> Tuple[jax.Array, jax.Array]:
+    """Solve ``A @ x = b``; returns ``(x, ok)``.
+
+    For the LU method this uses forward/back substitution; other methods form
+    the explicit inverse (matching the reference, which only ever inverts).
+    """
+    if method == "lu" or (method == "auto" and a.shape[-1] >= _BLOCKED_MIN_N):
+        from gpu_matrix_inversion_tpu.ops.lu import lu_solve_matrix
+        return lu_solve_matrix(a, b)
+    inv, ok = inverse(a, method=method)
+    x = jnp.matmul(inv, b, preferred_element_type=inv.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+    return x, ok

@@ -1,0 +1,203 @@
+"""Fused Pallas TPU kernel: whole-matrix Gauss-Jordan in VMEM.
+
+This is the TPU answer to the reference's dominant overhead: the OpenCL host
+loop enqueues 5 kernels and pays 3 ``commandQueue.finish()`` host syncs per
+iteration, N iterations per inversion (``FP32_bench.cpp:342-405``; SURVEY.md
+section 3.1 calls this out as the root cause of losing to LAPACK). Here the
+augmented ``[A|I]`` system lives in a VMEM scratch buffer and the entire
+r-loop runs inside ONE Pallas kernel: zero kernel launches, zero host syncs,
+zero HBM round-trips between iterations.
+
+Data-dependent pivoting is expressed TPU-style: the pivot-column extract is a
+masked lane reduction, the argmax a sublane reduction, and the row swap two
+dynamic sublane slices -- no divergent branches (contrast the reference's
+workgroup tree reduction + serial final scan, FP32.cpp:68-142, whose
+``__local float2 vector[1000]`` caps N at 256,000; this design has no such
+cap below VMEM capacity).
+
+Batching: the kernel is gridded over the batch dimension, so ``B`` matrices
+invert as ``B`` independent grid programs (the vmapped-fused path of
+BASELINE.md configs[2]).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Largest padded N whose (m, 2m) fp32 augmented system + in/out blocks fit
+# in ~16 MB VMEM.
+FUSED_MAX_N = 640
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _is_tpu_device(d) -> bool:
+    kind = (getattr(d, "device_kind", "") or "").lower()
+    plat = (getattr(d, "platform", "") or "").lower()
+    return "tpu" in kind or "tpu" in plat
+
+
+def tpu_available() -> bool:
+    """True when computations will land on a TPU by default.
+
+    Respects ``jax.config.jax_default_device`` (tests pin CPU even on hosts
+    where a TPU platform outranks it)."""
+    default = getattr(jax.config, "jax_default_device", None)
+    if default is not None:
+        return _is_tpu_device(default)
+    try:
+        return any(_is_tpu_device(d) for d in jax.devices())
+    except Exception:
+        return False
+
+
+def _gj_kernel(a_ref, inv_ref, ok_ref, aug, *, m: int, pivot: bool):
+    """Kernel body: pivoted Gauss-Jordan on the (m, 2m) augmented system.
+
+    Fully vectorized: pivot column/row extraction are masked reductions, the
+    row swap is a three-way ``where`` select -- no data-dependent indexing at
+    all, which is exactly what the VPU wants (and what Mosaic can lower).
+    """
+    f32 = aug.dtype
+    lane = lax.broadcasted_iota(jnp.int32, (m, 2 * m), 1)
+    sub = lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+
+    # makeAugmentedMatrix (reference FP32.cpp:198-215): [A | I] in VMEM.
+    # NOTE: build the eye from fresh (m, m) iotas -- lane-slicing a larger
+    # broadcasted_iota value crashes the Mosaic compiler on this toolchain.
+    li = lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    si = lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    aug[:, :m] = a_ref[0]
+    aug[:, m:] = jnp.where(li == si, jnp.ones((m, m), f32),
+                           jnp.zeros((m, m), f32))
+
+    def step(r, ok):
+        full = aug[:, :]
+        # Pivot column r: masked lane reduction (no dynamic lane slicing).
+        col = jnp.sum(jnp.where(lane == r, full, jnp.zeros_like(full)),
+                      axis=1, keepdims=True)  # (m, 1)
+
+        if pivot:
+            # maxPivot/finalMaxPivot (FP32.cpp:68-142) as one sublane argmax.
+            # Manual int32 argmax (max + first matching row): jnp.argmax
+            # yields int64 under x64, which Mosaic cannot convert.
+            cand = jnp.where(rows >= r, jnp.abs(col), jnp.full_like(col, -1))
+            mval = jnp.max(cand)
+            p = jnp.min(jnp.where(cand == mval, rows,
+                                  jnp.full_like(rows, m)))
+        else:
+            p = r
+        piv = jnp.sum(jnp.where(rows == p, col, jnp.zeros_like(col)))
+        ok = ok * (piv != 0).astype(jnp.int32)
+        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)
+
+        if pivot:
+            # pivotElementsKernel (FP32.cpp:171-192): swap rows r and p via
+            # masked row reductions + a three-way select.
+            row_r = jnp.sum(jnp.where(sub == r, full, jnp.zeros_like(full)),
+                            axis=0, keepdims=True)  # (1, 2m)
+            row_p = jnp.sum(jnp.where(sub == p, full, jnp.zeros_like(full)),
+                            axis=0, keepdims=True)
+            full = jnp.where(sub == r, row_p, jnp.where(sub == p, row_r, full))
+            col_at_r = jnp.sum(jnp.where(rows == r, col, jnp.zeros_like(col)))
+            col = jnp.where(rows == r, piv,
+                            jnp.where(rows == p, col_at_r, col))
+            pivot_row = row_p
+        else:
+            pivot_row = jnp.sum(jnp.where(sub == r, full, jnp.zeros_like(full)),
+                                axis=0, keepdims=True)
+
+        # fixRowKernel (FP32.cpp:150-164): normalize the pivot row.
+        norm_row = pivot_row / piv_safe
+
+        # fixColumnKernel (FP32.cpp:17-63): rank-1 eliminate all other rows,
+        # then deposit the normalized pivot row.
+        factors = jnp.where(rows == r, jnp.zeros_like(col), col)
+        full = full - factors * norm_row
+        aug[:, :] = jnp.where(sub == r, norm_row, full)
+        return ok
+
+    # int32 loop bounds keep the induction variable int32 even under x64.
+    ok = lax.fori_loop(jnp.int32(0), jnp.int32(m), step, jnp.int32(1))
+
+    # getInvertedMatrix (FP32.cpp:216-226): extract the right half.
+    inv = aug[:, m:]
+    # Finite check without bool reductions (Mosaic-friendly): 0*x sums to 0
+    # iff every element is finite (NaN/Inf poison the sum).
+    probe = jnp.sum(inv * jnp.zeros_like(inv))
+    ok = ok * (probe == 0).astype(jnp.int32)
+    inv_ref[0] = inv
+    # ok lives whole-array in SMEM (Mosaic requires SMEM output blocks to
+    # cover the array); index by grid position.
+    ok_ref[pl.program_id(0), 0] = ok
+
+
+@functools.partial(jax.jit, static_argnames=("pivot", "interpret"))
+def _fused_batched(a, *, pivot: bool, interpret: bool):
+    b, n, _ = a.shape
+    m = max(_round_up(n, 128), 128)
+    if m != n:
+        # Pad to blockdiag(A, I): inverse is blockdiag(inv(A), I) and padded
+        # rows/cols never win a pivot against a nonsingular A.
+        pad = jnp.zeros((b, m, m), a.dtype)
+        pad = pad.at[:, :n, :n].set(a)
+        eye_tail = jnp.eye(m, dtype=a.dtype)[n:]
+        pad = pad.at[:, n:, :].set(jnp.broadcast_to(eye_tail, (b, m - n, m)))
+        a = pad
+
+    kernel = functools.partial(_gj_kernel, m=m, pivot=pivot)
+    inv, ok = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, m), a.dtype),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((m, 2 * m), a.dtype)],
+        interpret=interpret,
+    )(a)
+    return inv[:, :n, :n], ok[:, 0] > 0
+
+
+def fused_inverse(a: jax.Array, *, pivot: bool = True):
+    """Invert ``(..., n, n)`` fp32/bf16 matrices with the fused VMEM kernel.
+
+    Returns ``(inverse, ok)``. Raises ``NotImplementedError`` for dtypes or
+    sizes the fused path does not serve (callers fall back to the jnp spec
+    or the blocked path via models/solver.py).
+    """
+    if a.dtype not in (jnp.float32, jnp.bfloat16):
+        raise NotImplementedError(
+            f"fused Pallas kernel serves fp32/bf16; got {a.dtype} "
+            "(FP64 routes to the jnp spec / blocked path)")
+    n = a.shape[-1]
+    if n > FUSED_MAX_N:
+        raise NotImplementedError(
+            f"n={n} exceeds fused VMEM capacity ({FUSED_MAX_N}); "
+            "use the blocked path")
+    batch_shape = a.shape[:-2]
+    a3 = a.reshape((-1,) + a.shape[-2:])
+    interpret = not tpu_available()
+    # Trace in 32-bit land even when x64 is globally on: the kernel is pure
+    # fp32/int32 and Mosaic cannot legalize the i64 index plumbing x64 mode
+    # threads through grid index maps.
+    with jax.enable_x64(False):
+        inv, ok = _fused_batched(a3, pivot=pivot, interpret=interpret)
+    return inv.reshape(a.shape), ok.reshape(batch_shape)

@@ -1,0 +1,59 @@
+"""Golden tests of the fused Pallas VMEM kernel vs the jnp spec / numpy.
+Runs in Pallas interpret mode on CPU; compiled on real TPU (SURVEY.md sec 4)."""
+
+import numpy as np
+import pytest
+
+from gpu_matrix_inversion_tpu.ops.fused import fused_inverse, FUSED_MAX_N
+from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+from gpu_matrix_inversion_tpu.utils.residual import relative_residual
+
+
+def test_fused_128():
+    a = hollow_random_matrix(128, seed=20)
+    inv, ok = fused_inverse(a)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5
+
+
+def test_fused_padding_non_multiple():
+    a = hollow_random_matrix(100, seed=21)
+    inv, ok = fused_inverse(a)
+    assert bool(ok)
+    assert inv.shape == (100, 100)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5
+
+
+def test_fused_batched():
+    a = np.stack([hollow_random_matrix(64, seed=s) for s in range(3)])
+    inv, ok = fused_inverse(a)
+    assert inv.shape == a.shape
+    assert bool(np.all(np.asarray(ok)))
+    for i in range(3):
+        assert relative_residual(a[i], np.asarray(inv)[i]) < 1e-5
+
+
+def test_fused_singular_flagged():
+    a = np.zeros((32, 32), dtype=np.float32)
+    _, ok = fused_inverse(a)
+    assert not bool(ok)
+
+
+def test_fused_rejects_fp64():
+    a = hollow_random_matrix(32, seed=22, dtype=np.float64)
+    with pytest.raises(NotImplementedError):
+        fused_inverse(a)
+
+
+def test_fused_rejects_oversize():
+    a = np.eye(FUSED_MAX_N + 128, dtype=np.float32)
+    with pytest.raises(NotImplementedError):
+        fused_inverse(a)
+
+
+def test_fused_no_pivot():
+    from gpu_matrix_inversion_tpu.utils.generators import well_conditioned_matrix
+    a = well_conditioned_matrix(64, seed=23)
+    inv, ok = fused_inverse(a, pivot=False)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5

@@ -1,0 +1,38 @@
+"""Tests of the algorithm dispatcher (models/solver.py)."""
+
+import numpy as np
+import pytest
+
+from gpu_matrix_inversion_tpu.models.solver import inverse, solve
+from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+from gpu_matrix_inversion_tpu.utils.residual import relative_residual
+
+
+@pytest.mark.parametrize("method", ["spec", "fused", "blocked", "lu", "auto"])
+def test_all_methods_agree(method):
+    a = hollow_random_matrix(96, seed=60)
+    inv, ok = inverse(a, method=method)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5
+
+
+def test_auto_fp64_falls_back_from_fused():
+    a = hollow_random_matrix(64, seed=61, dtype=np.float64)
+    inv, ok = inverse(a, method="auto")
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-14
+
+
+def test_solve():
+    n = 64
+    a = hollow_random_matrix(n, seed=62, dtype=np.float64)
+    b = np.random.default_rng(1).standard_normal((n, 2))
+    x, ok = solve(a, b)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_bad_method_rejected():
+    with pytest.raises(ValueError):
+        inverse(np.eye(4, dtype=np.float32), method="nope")
