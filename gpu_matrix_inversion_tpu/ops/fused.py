@@ -136,9 +136,10 @@ def _gj_kernel(a_ref, inv_ref, ok_ref, aug, *, m: int, pivot: bool):
     probe = jnp.sum(inv * jnp.zeros_like(inv))
     ok = ok * (probe == 0).astype(jnp.int32)
     inv_ref[0] = inv
-    # ok lives whole-array in SMEM (Mosaic requires SMEM output blocks to
-    # cover the array); index by grid position.
-    ok_ref[pl.program_id(0), 0] = ok
+    # ok is a per-batch (1, 1, 1) int32 VMEM block (SMEM outputs must cover
+    # the whole array, which stops scaling past ~1k batch entries).
+    ok_ref[0] = jnp.broadcast_to(ok, (1, 1))  # vector store; scalar VMEM
+    # stores are unsupported
 
 
 @functools.partial(jax.jit, static_argnames=("pivot", "interpret"))
@@ -163,17 +164,17 @@ def _fused_batched(a, *, pivot: bool, interpret: bool):
         out_specs=(
             pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, m, m), a.dtype),
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((m, 2 * m), a.dtype)],
         interpret=interpret,
     )(a)
-    return inv[:, :n, :n], ok[:, 0] > 0
+    return inv[:, :n, :n], ok[:, 0, 0] > 0
 
 
 def fused_inverse(a: jax.Array, *, pivot: bool = True):

@@ -1,0 +1,67 @@
+"""Multi-chip tests on a virtual 8-device CPU mesh (SURVEY.md section 4:
+multi-chip tests run on CPU via xla_force_host_platform_device_count)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gpu_matrix_inversion_tpu.parallel import (
+    make_device_mesh,
+    sharded_blocked_inverse,
+    sharded_batched_inverse,
+)
+from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+from gpu_matrix_inversion_tpu.utils.residual import relative_residual
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices("cpu")) < 8, reason="needs 8 virtual CPU devices")
+
+
+def test_mesh_helper():
+    mesh = make_device_mesh(8, ("x",), platform="cpu")
+    assert mesh.shape["x"] == 8
+    mesh2 = make_device_mesh((2, 4), ("dp", "tp"), platform="cpu")
+    assert mesh2.shape == {"dp": 2, "tp": 4}
+
+
+def test_sharded_inverse_matches_numpy():
+    mesh = make_device_mesh(8, ("x",), platform="cpu")
+    a = hollow_random_matrix(256, seed=70)
+    inv, ok = sharded_blocked_inverse(a, mesh=mesh, block_size=32)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5
+
+
+def test_sharded_inverse_padding():
+    mesh = make_device_mesh(4, ("x",), platform="cpu")
+    a = hollow_random_matrix(200, seed=71)
+    inv, ok = sharded_blocked_inverse(a, mesh=mesh, block_size=32)
+    assert bool(ok)
+    assert inv.shape == (200, 200)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5
+
+
+def test_sharded_singular_flagged():
+    mesh = make_device_mesh(4, ("x",), platform="cpu")
+    a = np.ones((64, 64), dtype=np.float32)
+    _, ok = sharded_blocked_inverse(a, mesh=mesh, block_size=16)
+    assert not bool(ok)
+
+
+def test_sharded_batched_dp_tp():
+    mesh = make_device_mesh((2, 4), ("dp", "tp"), platform="cpu")
+    a = np.stack([hollow_random_matrix(64, seed=s) for s in range(4)])
+    inv, ok = sharded_batched_inverse(a, mesh=mesh, block_size=16)
+    assert inv.shape == a.shape
+    assert bool(np.all(np.asarray(ok)))
+    for i in range(4):
+        assert relative_residual(a[i], np.asarray(inv)[i]) < 1e-5
+
+
+def test_sharded_fp64():
+    mesh = make_device_mesh(4, ("x",), platform="cpu")
+    a = hollow_random_matrix(128, seed=72, dtype=np.float64)
+    inv, ok = sharded_blocked_inverse(a, mesh=mesh, block_size=16)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-14
