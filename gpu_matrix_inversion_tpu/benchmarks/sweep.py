@@ -1,0 +1,148 @@
+"""Benchmark sweep CLI: the reference's experiment protocol, TPU-native.
+
+Reproduces the reference drivers (SURVEY.md C9/C13/C14):
+
+- C++ ``main()`` sweep: N = 10 -> 2000 step 10, then -> 16000 step 1000,
+  hollow-diagonal random matrices, per-phase timings + residual per row,
+  appended to a text file (``main_file.cpp:27-83``).
+- PyOpenCL ``__main__`` sweep: same ramp, compute/total timings + residual
+  (``matrix_inv_pyopencl.py:358-370``).
+- NumPy baseline sweep: N = 10 -> 2000 step 10, then -> 5000 step 1000
+  (``matrix_inv_numpy.py:7-34``).
+
+Differences by design: output paths are CLI flags instead of hardcoded
+Windows thesis paths; the error column reports BOTH the reference's quirky
+``sqrt(N) - ||inv @ A||_F`` metric and the proper normalized residual
+(SURVEY.md section 4 flags the former as comparing norms, not residuals);
+and timings sync through a scalar probe (tunnel-safe).
+
+Usage::
+
+    python -m gpu_matrix_inversion_tpu.benchmarks.sweep \
+        --method auto --max-n 4096 --out sweep_tpu.txt
+    python -m gpu_matrix_inversion_tpu.benchmarks.sweep --numpy-baseline
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def reference_sizes(max_n: int, *, coarse_step: int = 1000):
+    """The reference's N ramp (main_file.cpp:73-78): 10..2000 step 10, then
+    step 1000 up to max_n."""
+    n = 10
+    while n <= max_n:
+        yield n
+        n += 10 if n < 2000 else coarse_step
+
+
+def sweep_numpy(max_n: int, out, *, repeat: int = 1):
+    """C14 parity: NumPy/LAPACK CPU baseline sweep (matrix_inv_numpy.py)."""
+    from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+    from gpu_matrix_inversion_tpu.utils.residual import (
+        reference_error_metric, relative_residual)
+
+    for n in reference_sizes(max_n):
+        a = hollow_random_matrix(n, seed=n)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            inv = np.linalg.inv(a)
+            best = min(best, time.monotonic() - t0)
+        err = reference_error_metric(a, inv)
+        res = relative_residual(a, inv)
+        out.write(f"{n} {best:.6f} {err:.6e} {res:.3e}\n")
+        out.flush()
+
+
+def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
+              dtype=np.float32):
+    """C9/C13 parity: device sweep with Res-style phase timings per row.
+
+    Row format: ``N t_buffers t_compile t_compute t_readback t_total
+    err_reference resid_normalized`` -- the phase slots map onto the
+    reference's Res.times (FP32_bench.cpp:256-443; SURVEY.md section 5).
+    """
+    import jax
+    import jax.numpy as jnp
+    from gpu_matrix_inversion_tpu.models.solver import inverse
+    from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+    from gpu_matrix_inversion_tpu.utils.residual import (
+        reference_error_metric, relative_residual)
+
+    for n in reference_sizes(max_n):
+        a_host = hollow_random_matrix(n, seed=n, dtype=dtype)
+
+        t0 = time.perf_counter()
+        a = jax.device_put(jnp.asarray(a_host))
+        float(jnp.sum(a))  # force the transfer
+        t_buffers = time.perf_counter() - t0
+
+        def probe(x):
+            inv, ok = inverse(x, method=method)
+            return jnp.sum(inv) + ok.astype(inv.dtype), inv
+
+        t0 = time.perf_counter()
+        s, inv = probe(a)
+        float(s)
+        t_compile = time.perf_counter() - t0  # trace+compile+1st run
+
+        t_compute = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            s, inv = probe(a)
+            float(s)  # scalar sync: full readback measures the network
+            t_compute = min(t_compute, time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        inv_host = np.asarray(inv)
+        t_read = time.perf_counter() - t0
+
+        err = reference_error_metric(a_host, inv_host)
+        res = relative_residual(a_host, inv_host)
+        total = t_buffers + t_compile + t_compute + t_read
+        out.write(f"{n} {t_buffers:.6f} {t_compile:.6f} {t_compute:.6f} "
+                  f"{t_read:.6f} {total:.6f} {err:.6e} {res:.3e}\n")
+        out.flush()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Matrix-inversion benchmark sweep (reference protocol)")
+    ap.add_argument("--max-n", type=int, default=2000,
+                    help="largest matrix order (reference goes to 16000)")
+    ap.add_argument("--method", default="auto",
+                    choices=["auto", "spec", "fused", "blocked", "lu"])
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="timed repetitions per size (REP, main_file.cpp:16)")
+    ap.add_argument("--out", default="-",
+                    help="output file (reference: hardcoded txt paths)")
+    ap.add_argument("--numpy-baseline", action="store_true",
+                    help="run the NumPy CPU baseline sweep instead (C14)")
+    ap.add_argument("--fp64", action="store_true",
+                    help="FP64 sweep (reference FP64_bench path)")
+    args = ap.parse_args(argv)
+
+    out = sys.stdout if args.out == "-" else open(args.out, "a")
+    try:
+        if args.numpy_baseline:
+            sweep_numpy(args.max_n, out, repeat=args.repeat)
+        else:
+            dtype = np.float64 if args.fp64 else np.float32
+            if args.fp64:
+                import jax
+                jax.config.update("jax_enable_x64", True)
+            sweep_tpu(args.max_n, out, method=args.method,
+                      repeat=args.repeat, dtype=dtype)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,21 +9,27 @@ GEMM on the MXU, turning the algorithm compute-bound.
 
 Per panel k (pivot columns kb .. kb+b-1):
 
-1. *Panel pivot search*: a pivoted Gauss-Jordan pass over the (m x b) strip
-   alone determines the b pivot rows -- the blocked generalization of the
-   reference's two-stage workgroup-partial argmax (FP32.cpp:68-142). Only the
-   permutation escapes this pass.
-2. *Row permutation*: one gather applies the b row swaps lazily (the
-   reference's pivotElementsKernel, amortized b-fold).
-3. *Block elimination*: with D = aug[kb:kb+b, kb:kb+b] after permutation,
-   S = D^-1 @ aug[kb:kb+b, :] (small fused inverse + GEMM), then
-   aug -= L @ S for all rows outside the block (rank-b MXU GEMM) and the
-   block rows become S. In exact arithmetic this equals the b sequential
-   pivoted eliminations (standard blocked-pivoting identity).
+1. *Pivot search* (Pallas kernel, VMEM-resident): a b-step Gauss-Jordan pass
+   over the (m, b) strip determines the b pivot rows -- the blocked
+   generalization of the reference's two-stage workgroup-partial argmax
+   (FP32.cpp:68-142). Swap-free: a "used rows" mask replaces physical row
+   exchanges (half the VMEM traffic), and the search runs in bfloat16 when
+   the compute dtype is fp32 (pivot *choice* is robust to 8-bit mantissas;
+   all subsequent arithmetic uses the fp32 data). Only the pivot-row indices
+   escape the kernel.
+2. *Row permutation*: the b swaps are simulated on an index vector and
+   applied to the full matrix as a sparse gather/scatter of at most 2b rows
+   (the reference's pivotElementsKernel, amortized b-fold; a full-matrix
+   gather would move 2*N^2 floats per panel).
+3. *Block elimination*: with D = aug[kb:kb+b, kb:kb+b] after permutation
+   (inverted by a small VMEM GJ kernel), S = D^-1 @ aug[kb:kb+b, :], then
+   aug -= L @ S for rows outside the block (rank-b MXU GEMM) and the block
+   rows become S. In exact arithmetic this equals the b sequential pivoted
+   eliminations (standard blocked-pivoting identity).
 
-All shapes are static across panels (GJ updates full height / full width),
-so the panel loop is a single ``lax.fori_loop`` -- no dynamic shapes, no
-recompilation, one XLA program.
+All shapes are static across panels, so the panel loop is one
+``lax.fori_loop`` -- no dynamic shapes, no recompilation, one XLA program.
+FP64 falls back to a pure-jnp panel loop (Mosaic kernels are 32-bit).
 """
 
 from __future__ import annotations
@@ -35,23 +41,187 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import _gauss_jordan_aug, _i0
+from gpu_matrix_inversion_tpu.ops.fused import gj_eliminate, tpu_available
 
 DEFAULT_BLOCK_SIZE = 256
+# VMEM budget for the pivot-search kernel: strip input + working copy,
+# with ~2x headroom for pallas' input/output double buffering.
+_PANEL_VMEM_BYTES = 14 * 1024 * 1024
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# --------------------------------------------------------------------------
+# Pallas kernels
+# --------------------------------------------------------------------------
+
+def _pivot_search_kernel(kb_ref, strip_ref, pivrows_ref, w, *, m: int, b: int,
+                         pivot: bool):
+    """Swap-free pivot search on the VMEM-resident (m, b) strip.
+
+    Runs b Gauss-Jordan steps tracking a used-row mask instead of swapping
+    (selecting the max-|value| row among unused rows is mathematically the
+    same pivot sequence as partial pivoting with row exchanges). Emits only
+    the chosen physical row index per step; the caller reconstructs the
+    permutation and re-does the (b, b) pivot-block inverse in full precision.
+    """
+    dt = w.dtype
+    kb = kb_ref[0, 0]
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    lane_b = lax.broadcasted_iota(jnp.int32, (m, b), 1)
+    sub_b = lax.broadcasted_iota(jnp.int32, (m, b), 0)
+    rows_b = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+
+    w[:, :] = strip_ref[:, :]
+    pivrows_ref[:, :] = jnp.zeros((b, 1), jnp.int32)
+
+    def step(r, used):
+        wv = w[:, :]
+        col = jnp.sum(jnp.where(lane_b == r, wv, jnp.zeros_like(wv)),
+                      axis=1, keepdims=True)  # (m, 1)
+        colf = col.astype(jnp.float32)
+        if pivot:
+            cand = jnp.where(used > 0, jnp.full_like(colf, -1),
+                             jnp.abs(colf))
+            mval = jnp.max(cand)
+            p = jnp.min(jnp.where(cand == mval, rows, jnp.full_like(rows, m)))
+        else:
+            p = kb + r
+        piv = jnp.sum(jnp.where(rows == p, colf, jnp.zeros_like(colf)))
+        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv).astype(dt)
+        used = jnp.where(rows == p, jnp.ones_like(used), used)
+        pivrows_ref[:, :] = jnp.where(rows_b == r, p, pivrows_ref[:, :])
+
+        row_p = jnp.sum(jnp.where(sub_b == p, wv, jnp.zeros_like(wv)),
+                        axis=0, keepdims=True)  # (1, b)
+        norm = row_p / piv_safe
+        factors = jnp.where(rows == p, jnp.zeros_like(col), col)
+        w[:, :] = jnp.where(sub_b == p, norm, wv - factors * norm)
+        return used
+
+    used0 = jnp.where(rows < kb, jnp.ones((m, 1), jnp.float32),
+                      jnp.zeros((m, 1), jnp.float32))
+    lax.fori_loop(jnp.int32(0), jnp.int32(b), step, used0)
+
+
+def _pivot_search(strip: jax.Array, kb: jax.Array, *, m: int, b: int,
+                  pivot: bool, interpret: bool) -> jax.Array:
+    """Run the pivot-search kernel; returns pivot row indices (b,) int32."""
+    kernel = functools.partial(_pivot_search_kernel, m=m, b=b, pivot=pivot)
+    kb_arr = jnp.reshape(kb.astype(jnp.int32), (1, 1))
+    pivrows = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((m, b), strip.dtype)],
+        interpret=interpret,
+    )(kb_arr, strip)
+    return pivrows[:, 0]
+
+
+def _small_inv_kernel(a_ref, inv_ref, ok_ref, aug, *, b: int, pivot: bool):
+    """Invert a (b, b) block: GJ on [D | I] in VMEM (shared helper)."""
+    f32 = aug.dtype
+    li = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    si = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    aug[:, :b] = a_ref[:, :]
+    aug[:, b:] = jnp.where(li == si, jnp.ones((b, b), f32),
+                           jnp.zeros((b, b), f32))
+    ok = gj_eliminate(aug, b, 2 * b, pivot=pivot)
+    inv = aug[:, b:]
+    probe = jnp.sum(inv * jnp.zeros_like(inv))
+    inv_ref[:, :] = inv
+    ok_ref[:, :] = jnp.broadcast_to(ok * (probe == 0).astype(jnp.int32),
+                                    (1, 1))
+
+
+def _invert_small(dblk: jax.Array, *, pivot: bool, interpret: bool):
+    """Pallas (b, b) inverse; returns (inv, ok_bool)."""
+    b = dblk.shape[-1]
+    kernel = functools.partial(_small_inv_kernel, b=b, pivot=pivot)
+    inv, ok = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, b), dblk.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((b, 2 * b), dblk.dtype)],
+        interpret=interpret,
+    )(dblk)
+    return inv, ok[0, 0] > 0
+
+
+# --------------------------------------------------------------------------
+# Permutation plumbing
+# --------------------------------------------------------------------------
+
+def _perm_from_pivots(pivrows: jax.Array, kb: jax.Array, m: int, b: int):
+    """Simulate the b row swaps on an index vector.
+
+    ``pivrows[r]`` is the *physical* row chosen for panel position kb+r.
+    Returns ``perm`` with ``perm[pos] = physical row now at pos`` -- identity
+    outside at most 2b positions.
+    """
+    rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
+
+    def body(r, carry):
+        perm, pos = carry
+        r = r.astype(jnp.int32)
+        g = kb + r
+        p = lax.dynamic_slice(pivrows, (r,), (1,))  # physical pivot row
+        q = jnp.take(pos, p)                         # its current position
+        at_g = lax.dynamic_slice(perm, (g,), (1,))
+        perm = lax.dynamic_update_slice(perm, p, (g,))
+        perm = jnp.where(rows == q[0], at_g[0], perm)
+        pos = jnp.where(rows == p[0], g, pos)
+        pos = jnp.where(rows == at_g[0], q[0], pos)
+        return perm, pos
+
+    perm, _ = lax.fori_loop(0, b, body, (rows, rows))
+    return perm
+
+
+def _apply_perm_sparse(aug: jax.Array, perm: jax.Array, b: int):
+    """Apply a near-identity row permutation by moving <= 2b rows.
+
+    A whole-matrix ``jnp.take`` streams 2*m^2 floats through HBM per panel;
+    the panel permutation touches at most 2b rows, so gather/scatter just
+    those.
+    """
+    m = aug.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
+    changed = perm != rows
+    order = jnp.argsort(jnp.where(changed, rows, rows + m)).astype(jnp.int32)
+    idx = order[:2 * b]                    # changed positions (+ padding)
+    src = jnp.take(perm, idx)              # rows that move there
+    vals = jnp.take(aug, src, axis=0)      # (2b, 2m) gather
+    return aug.at[idx].set(vals)           # unique indices; padding is a no-op
+
+
+# --------------------------------------------------------------------------
+# jnp fallback panel factorization (FP64 path)
+# --------------------------------------------------------------------------
+
 def _panel_pivots(strip: jax.Array, kb: jax.Array, *, m: int, b: int,
                   pivot: bool):
-    """Run pivoted GJ on the (m, b) strip; return (perm, ok).
-
-    ``perm`` is the length-m row permutation accumulated from the b partial
-    pivots (pivot for panel column r chosen among rows >= kb+r after the
-    previous panel columns' eliminations, exactly as unblocked GJ would).
-    """
+    """Pure-jnp pivoted GJ over the (m, b) strip; returns (perm, ok)."""
     rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
     perm0 = rows
 
@@ -94,7 +264,12 @@ def _panel_pivots(strip: jax.Array, kb: jax.Array, *, m: int, b: int,
     return perm, ok
 
 
-def _blocked_gj(a: jax.Array, *, pivot: bool, b: int):
+# --------------------------------------------------------------------------
+# Blocked driver
+# --------------------------------------------------------------------------
+
+def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
+                interpret: bool, precision, search_bf16: bool):
     n = a.shape[-1]
     m = max(_round_up(n, b), b)
     dtype = a.dtype
@@ -104,8 +279,6 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int):
     if m != n:
         apad = jnp.eye(m, dtype=dtype)
         apad = lax.dynamic_update_slice(apad, a, (0, 0))
-        # Zero the identity diagonal inside the real region was overwritten
-        # by the update slice; the tail diag stays 1.
         a = apad
     aug = jnp.concatenate([a, jnp.eye(m, dtype=dtype)], axis=-1)  # (m, 2m)
 
@@ -116,26 +289,36 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int):
         aug, ok = carry
         kb = k.astype(jnp.int32) * b
         strip = lax.dynamic_slice(aug, (_i0, kb), (m, b))
-        perm, ok_p = _panel_pivots(strip, kb, m=m, b=b, pivot=pivot)
-        aug = jnp.take(aug, perm, axis=0)
+        if use_pallas:
+            search = strip.astype(jnp.bfloat16) if search_bf16 else strip
+            pivrows = _pivot_search(search, kb, m=m, b=b, pivot=pivot,
+                                    interpret=interpret)
+            perm = _perm_from_pivots(pivrows, kb, m, b)
+            dblk = jnp.take(strip, pivrows, axis=0)  # (b, b), full precision
+            dinv, ok_d = _invert_small(dblk, pivot=pivot, interpret=interpret)
+            ok = jnp.logical_and(ok, ok_d)
+            aug = _apply_perm_sparse(aug, perm, b)
+        else:
+            perm, ok_p = _panel_pivots(strip, kb, m=m, b=b, pivot=pivot)
+            ok = jnp.logical_and(ok, ok_p)
+            aug = jnp.take(aug, perm, axis=0)
+            block_rows0 = lax.dynamic_slice(aug, (kb, _i0), (b, 2 * m))
+            dblk = lax.dynamic_slice(block_rows0, (_i0, kb), (b, b))
+            dinv, ok_d = _gauss_jordan_aug(dblk, pivot=pivot)
+            ok = jnp.logical_and(ok, ok_d)
 
         block_rows = lax.dynamic_slice(aug, (kb, _i0), (b, 2 * m))
-        dblk = lax.dynamic_slice(block_rows, (_i0, kb), (b, b))
-        # Pivot-block inverse via the (no-pivot-needed? keep pivoted) GJ spec:
-        # the panel permutation already made dblk's sequential pivots the
-        # largest available, but a pivoted small inverse costs the same.
-        dinv, ok_d = _gauss_jordan_aug(dblk, pivot=pivot)
         s = jnp.matmul(dinv, block_rows, preferred_element_type=dtype,
-                        precision=jax.lax.Precision.HIGHEST)
+                       precision=precision)
 
         panel_cols = lax.dynamic_slice(aug, (_i0, kb), (m, b))
         in_block = jnp.logical_and(rows >= kb, rows < kb + b)
         l_masked = jnp.where(in_block, jnp.zeros_like(panel_cols), panel_cols)
         # The rank-b MXU trailing update (replaces b fixColumnKernel passes).
         aug = aug - jnp.matmul(l_masked, s, preferred_element_type=dtype,
-                        precision=jax.lax.Precision.HIGHEST)
+                               precision=precision)
         aug = lax.dynamic_update_slice(aug, s, (kb, _i0))
-        return aug, jnp.logical_and(ok, jnp.logical_and(ok_p, ok_d))
+        return aug, ok
 
     aug, ok = lax.fori_loop(0, num_panels, panel_step, (aug, jnp.bool_(True)))
     inv = lax.dynamic_slice(aug, (_i0, np.int32(m)), (m, m))[:n, :n]
@@ -143,14 +326,65 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int):
     return inv, ok
 
 
-@functools.partial(jax.jit, static_argnames=("pivot", "block_size"))
-def blocked_inverse(a: jax.Array, *, pivot: bool = True,
-                    block_size: int = DEFAULT_BLOCK_SIZE):
-    """Blocked Gauss-Jordan inverse; ``(..., n, n) -> (inverse, ok)``."""
-    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
-        raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
-    b = min(block_size, max(_round_up(a.shape[-1], 8), 8))
-    fn = functools.partial(_blocked_gj, pivot=pivot, b=b)
+@functools.partial(jax.jit,
+                   static_argnames=("pivot", "block_size", "use_pallas",
+                                    "interpret", "precision", "search_bf16"))
+def _blocked_inverse_jit(a: jax.Array, *, pivot: bool, block_size: int,
+                         use_pallas: bool, interpret: bool, precision: str,
+                         search_bf16: bool):
+    fn = functools.partial(_blocked_gj, pivot=pivot, b=block_size,
+                           use_pallas=use_pallas, interpret=interpret,
+                           precision=_PRECISIONS[precision],
+                           search_bf16=search_bf16)
     for _ in range(a.ndim - 2):
         fn = jax.vmap(fn)
     return fn(a)
+
+
+def blocked_inverse(a: jax.Array, *, pivot: bool = True,
+                    block_size: int = DEFAULT_BLOCK_SIZE,
+                    precision: str = "highest",
+                    search_bf16: bool = True):
+    """Blocked Gauss-Jordan inverse; ``(..., n, n) -> (inverse, ok)``.
+
+    FP32/BF16 panels factor inside Pallas VMEM kernels; FP64 (and other
+    dtypes Mosaic cannot serve) falls back to the pure-jnp panel loop.
+
+    Args:
+      precision: MXU precision for the rank-b trailing updates -- one of
+        ``"default"`` (bf16 passes), ``"high"`` (bf16x3), ``"highest"``
+        (full fp32, ~2x slower than high).
+      search_bf16: run the pivot *search* in bfloat16 (half the VMEM
+        traffic; only the pivot choice depends on it, all arithmetic stays
+        fp32).
+    """
+    a = jnp.asarray(a)
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
+    if precision not in _PRECISIONS:
+        raise ValueError(f"precision must be one of {set(_PRECISIONS)}")
+    n = a.shape[-1]
+    b = min(block_size, max(_round_up(n, 8), 8))
+    use_pallas = a.dtype in (jnp.float32, jnp.bfloat16)
+    if use_pallas:
+        # b = 128 for the Pallas path: the search kernel's per-step traffic
+        # is one physical (m, 128) tile regardless of narrower widths, wider
+        # panels scale traffic linearly with no benefit, and b > 128 at some
+        # m trips a Mosaic runtime bug (hangs the chip at m=1024, b=256).
+        b = min(b, 128)
+        itemsize = 2 if search_bf16 else 4
+        m = max(_round_up(n, b), b)
+        if 4 * itemsize * m * b > _PANEL_VMEM_BYTES:
+            use_pallas = False  # enormous m: fall back (rare)
+    if use_pallas:
+        interpret = not tpu_available()
+        # Trace/compile in 32-bit land: Mosaic cannot legalize the i64 index
+        # plumbing x64 mode threads through pallas calls.
+        with jax.enable_x64(False):
+            return _blocked_inverse_jit(a, pivot=pivot, block_size=b,
+                                        use_pallas=True, interpret=interpret,
+                                        precision=precision,
+                                        search_bf16=search_bf16)
+    return _blocked_inverse_jit(a, pivot=pivot, block_size=b,
+                                use_pallas=False, interpret=False,
+                                precision=precision, search_bf16=False)

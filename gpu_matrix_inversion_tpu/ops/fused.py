@@ -59,32 +59,30 @@ def tpu_available() -> bool:
         return False
 
 
-def _gj_kernel(a_ref, inv_ref, ok_ref, aug, *, m: int, pivot: bool):
-    """Kernel body: pivoted Gauss-Jordan on the (m, 2m) augmented system.
+def gj_eliminate(aug, rows_n: int, cols_n: int, *, pivot: bool,
+                 start_col: int = 0, num_steps: int | None = None):
+    """In-kernel Gauss-Jordan elimination loop over a VMEM ref.
+
+    ``aug`` is a (rows_n, cols_n) ref; the loop runs ``num_steps`` iterations
+    starting at pivot column/row ``start_col``. Returns an int32 ok flag
+    (0 if a zero pivot was hit).
 
     Fully vectorized: pivot column/row extraction are masked reductions, the
     row swap is a three-way ``where`` select -- no data-dependent indexing at
     all, which is exactly what the VPU wants (and what Mosaic can lower).
+    Shared by the fused whole-matrix kernel and the blocked path's
+    panel-factorization kernel.
     """
-    f32 = aug.dtype
-    lane = lax.broadcasted_iota(jnp.int32, (m, 2 * m), 1)
-    sub = lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
-    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-
-    # makeAugmentedMatrix (reference FP32.cpp:198-215): [A | I] in VMEM.
-    # NOTE: build the eye from fresh (m, m) iotas -- lane-slicing a larger
-    # broadcasted_iota value crashes the Mosaic compiler on this toolchain.
-    li = lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    si = lax.broadcasted_iota(jnp.int32, (m, m), 0)
-    aug[:, :m] = a_ref[0]
-    aug[:, m:] = jnp.where(li == si, jnp.ones((m, m), f32),
-                           jnp.zeros((m, m), f32))
+    lane = lax.broadcasted_iota(jnp.int32, (rows_n, cols_n), 1)
+    sub = lax.broadcasted_iota(jnp.int32, (rows_n, cols_n), 0)
+    rows = lax.broadcasted_iota(jnp.int32, (rows_n, 1), 0)
+    steps = rows_n if num_steps is None else num_steps
 
     def step(r, ok):
         full = aug[:, :]
         # Pivot column r: masked lane reduction (no dynamic lane slicing).
         col = jnp.sum(jnp.where(lane == r, full, jnp.zeros_like(full)),
-                      axis=1, keepdims=True)  # (m, 1)
+                      axis=1, keepdims=True)  # (rows_n, 1)
 
         if pivot:
             # maxPivot/finalMaxPivot (FP32.cpp:68-142) as one sublane argmax.
@@ -93,7 +91,7 @@ def _gj_kernel(a_ref, inv_ref, ok_ref, aug, *, m: int, pivot: bool):
             cand = jnp.where(rows >= r, jnp.abs(col), jnp.full_like(col, -1))
             mval = jnp.max(cand)
             p = jnp.min(jnp.where(cand == mval, rows,
-                                  jnp.full_like(rows, m)))
+                                  jnp.full_like(rows, rows_n)))
         else:
             p = r
         piv = jnp.sum(jnp.where(rows == p, col, jnp.zeros_like(col)))
@@ -104,7 +102,7 @@ def _gj_kernel(a_ref, inv_ref, ok_ref, aug, *, m: int, pivot: bool):
             # pivotElementsKernel (FP32.cpp:171-192): swap rows r and p via
             # masked row reductions + a three-way select.
             row_r = jnp.sum(jnp.where(sub == r, full, jnp.zeros_like(full)),
-                            axis=0, keepdims=True)  # (1, 2m)
+                            axis=0, keepdims=True)  # (1, cols_n)
             row_p = jnp.sum(jnp.where(sub == p, full, jnp.zeros_like(full)),
                             axis=0, keepdims=True)
             full = jnp.where(sub == r, row_p, jnp.where(sub == p, row_r, full))
@@ -127,7 +125,23 @@ def _gj_kernel(a_ref, inv_ref, ok_ref, aug, *, m: int, pivot: bool):
         return ok
 
     # int32 loop bounds keep the induction variable int32 even under x64.
-    ok = lax.fori_loop(jnp.int32(0), jnp.int32(m), step, jnp.int32(1))
+    return lax.fori_loop(jnp.int32(start_col), jnp.int32(start_col + steps),
+                         step, jnp.int32(1))
+
+
+def _gj_kernel(a_ref, inv_ref, ok_ref, aug, *, m: int, pivot: bool):
+    """Kernel body: pivoted Gauss-Jordan on the (m, 2m) augmented system."""
+    f32 = aug.dtype
+    # makeAugmentedMatrix (reference FP32.cpp:198-215): [A | I] in VMEM.
+    # NOTE: build the eye from fresh (m, m) iotas -- lane-slicing a larger
+    # broadcasted_iota value crashes the Mosaic compiler on this toolchain.
+    li = lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    si = lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    aug[:, :m] = a_ref[0]
+    aug[:, m:] = jnp.where(li == si, jnp.ones((m, m), f32),
+                           jnp.zeros((m, m), f32))
+
+    ok = gj_eliminate(aug, m, 2 * m, pivot=pivot)
 
     # getInvertedMatrix (FP32.cpp:216-226): extract the right half.
     inv = aug[:, m:]

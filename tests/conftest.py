@@ -17,3 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# Under some TPU tunnel platforms JAX_PLATFORMS=cpu is ignored; pin the
+# default device to CPU explicitly so the suite never depends on (or wedges
+# with) the remote chip. Pallas kernels run in interpret mode on CPU.
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass

@@ -1,0 +1,71 @@
+"""Tests of the native C++ layer: host utilities (ctypes) and the C-ABI
+product library + driver (reference mat_inv_32.lib / main_file.cpp parity)."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+BUILD = os.path.join(NATIVE, "build")
+
+
+@pytest.fixture(scope="module")
+def built():
+    if shutil.which("g++") is None or shutil.which("make") is None:
+        pytest.skip("no native toolchain")
+    r = subprocess.run(["make", "-C", NATIVE], capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"native build failed: {r.stderr[-400:]}")
+    return BUILD
+
+
+def test_host_lib_residuals(built):
+    from gpu_matrix_inversion_tpu.utils import native
+    from gpu_matrix_inversion_tpu.utils.residual import (
+        reference_error_metric, relative_residual)
+    assert native.available()
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((64, 64))
+    inv = np.linalg.inv(a)
+    assert abs(native.reference_error(inv, a)
+               - reference_error_metric(a, inv)) < 1e-9
+    assert abs(native.relative_residual(inv, a)
+               - relative_residual(a, inv)) < 1e-12
+
+
+def test_host_lib_generator(built):
+    from gpu_matrix_inversion_tpu.utils import native
+    a = native.hollow_random(32, seed=7)
+    assert a.shape == (32, 32) and a.dtype == np.float32
+    assert np.all(np.diag(a) == 0)
+    off = a[~np.eye(32, dtype=bool)]
+    assert off.min() >= 0.0 and off.max() < 100.0
+    assert np.std(off) > 10  # actually random
+    b = native.hollow_random(32, seed=7)
+    np.testing.assert_array_equal(a, b)  # deterministic
+    c = native.hollow_random(32, seed=8)
+    assert not np.array_equal(a, c)
+
+
+@pytest.mark.slow
+def test_c_abi_library_end_to_end(built):
+    """Drive the C-ABI library through the native benchmark driver: a C++
+    consumer inverts a matrix via the embedded JAX path (the reference's
+    MATLAB-consumer scenario, README.md:41-52)."""
+    exe = os.path.join(BUILD, "matinv_bench")
+    env = dict(os.environ)
+    env["MATINV_FORCE_CPU"] = "1"
+    site = [p for p in sys.path if p.endswith("site-packages")]
+    env["PYTHONPATH"] = ":".join(site + [REPO])
+    r = subprocess.run([exe, "48"], capture_output=True, text=True, env=env,
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-400:]
+    row = r.stdout.strip().splitlines()[-1].split()
+    assert row[0] == "48"
+    rel_resid = float(row[3])
+    assert rel_resid < 1e-5

@@ -1,0 +1,36 @@
+"""Smoke tests of the benchmark sweep CLI (reference protocol parity)."""
+
+import io
+
+from gpu_matrix_inversion_tpu.benchmarks.sweep import (
+    reference_sizes,
+    sweep_numpy,
+    sweep_tpu,
+)
+
+
+def test_reference_ramp():
+    # main_file.cpp:73-78: 10 -> 2000 step 10, then step 1000.
+    sizes = list(reference_sizes(4000))
+    assert sizes[0] == 10 and sizes[1] == 20
+    assert 2000 in sizes and 3000 in sizes and 4000 in sizes
+    assert 2010 not in sizes
+
+
+def test_numpy_sweep_rows():
+    out = io.StringIO()
+    sweep_numpy(30, out)
+    rows = out.getvalue().strip().splitlines()
+    assert len(rows) == 3  # N = 10, 20, 30
+    n, t, err, resid = rows[0].split()
+    assert int(n) == 10 and float(t) >= 0 and abs(float(err)) < 1e-3
+
+
+def test_device_sweep_rows():
+    out = io.StringIO()
+    sweep_tpu(20, out, method="spec", repeat=1)
+    rows = out.getvalue().strip().splitlines()
+    assert len(rows) == 2
+    cols = rows[-1].split()
+    assert int(cols[0]) == 20 and len(cols) == 8
+    assert float(cols[7]) < 1e-4  # normalized residual column
