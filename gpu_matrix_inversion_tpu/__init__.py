@@ -33,7 +33,8 @@ from gpu_matrix_inversion_tpu.api import (
     matrix_multiply,
 )
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import gauss_jordan_inverse
-from gpu_matrix_inversion_tpu.models.solver import inverse, solve
+from gpu_matrix_inversion_tpu.models.solver import inverse, solve, Inverter
+from gpu_matrix_inversion_tpu.utils.config import InversionConfig
 
 __version__ = "0.1.0"
 
@@ -50,5 +51,7 @@ __all__ = [
     "gauss_jordan_inverse",
     "inverse",
     "solve",
+    "Inverter",
+    "InversionConfig",
     "__version__",
 ]

@@ -41,13 +41,30 @@ def reference_sizes(max_n: int, *, coarse_step: int = 1000):
         n += 10 if n < 2000 else coarse_step
 
 
-def sweep_numpy(max_n: int, out, *, repeat: int = 1):
+def _done_sizes(path: str) -> set:
+    """Sizes already present in an output file -- the reference's only
+    resume aid is incremental txt appends (main_file.cpp:39, :81); we make
+    that an explicit --resume that skips completed rows."""
+    import os
+    done = set()
+    if path and path != "-" and os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                head = line.split(None, 1)[0] if line.strip() else ""
+                if head.isdigit():
+                    done.add(int(head))
+    return done
+
+
+def sweep_numpy(max_n: int, out, *, repeat: int = 1, skip=()):
     """C14 parity: NumPy/LAPACK CPU baseline sweep (matrix_inv_numpy.py)."""
     from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
     from gpu_matrix_inversion_tpu.utils.residual import (
         reference_error_metric, relative_residual)
 
     for n in reference_sizes(max_n):
+        if n in skip:
+            continue
         a = hollow_random_matrix(n, seed=n)
         best = float("inf")
         for _ in range(repeat):
@@ -61,7 +78,7 @@ def sweep_numpy(max_n: int, out, *, repeat: int = 1):
 
 
 def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
-              dtype=np.float32):
+              dtype=np.float32, skip=()):
     """C9/C13 parity: device sweep with Res-style phase timings per row.
 
     Row format: ``N t_buffers t_compile t_compute t_readback t_total
@@ -76,6 +93,8 @@ def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
         reference_error_metric, relative_residual)
 
     for n in reference_sizes(max_n):
+        if n in skip:
+            continue
         a_host = hollow_random_matrix(n, seed=n, dtype=dtype)
 
         t0 = time.perf_counter()
@@ -126,19 +145,22 @@ def main(argv=None):
                     help="run the NumPy CPU baseline sweep instead (C14)")
     ap.add_argument("--fp64", action="store_true",
                     help="FP64 sweep (reference FP64_bench path)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip sizes already present in --out")
     args = ap.parse_args(argv)
 
+    skip = _done_sizes(args.out) if args.resume else set()
     out = sys.stdout if args.out == "-" else open(args.out, "a")
     try:
         if args.numpy_baseline:
-            sweep_numpy(args.max_n, out, repeat=args.repeat)
+            sweep_numpy(args.max_n, out, repeat=args.repeat, skip=skip)
         else:
             dtype = np.float64 if args.fp64 else np.float32
             if args.fp64:
                 import jax
                 jax.config.update("jax_enable_x64", True)
             sweep_tpu(args.max_n, out, method=args.method,
-                      repeat=args.repeat, dtype=dtype)
+                      repeat=args.repeat, dtype=dtype, skip=skip)
     finally:
         if out is not sys.stdout:
             out.close()

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import gauss_jordan_inverse
 
-METHODS = ("auto", "spec", "fused", "blocked", "lu")
+METHODS = ("auto", "spec", "fused", "blocked", "lu", "sharded")
 
 # Largest N whose augmented (N, 2N) fp32 system comfortably fits VMEM
 # (~16 MB/core): N=1024 -> 8 MB augmented + scratch.
@@ -46,11 +46,13 @@ def _resolve(method: str, a: jax.Array) -> str:
 
 
 def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
-            block_size: int | None = None) -> Tuple[jax.Array, jax.Array]:
+            block_size: int | None = None,
+            mesh=None) -> Tuple[jax.Array, jax.Array]:
     """Invert ``a`` (shape ``(..., n, n)``); returns ``(inverse, ok)``.
 
     ``ok`` is the singularity flag per the reference's empty-on-singular
-    contract (SURVEY.md section 2, C10).
+    contract (SURVEY.md section 2, C10). ``method="sharded"`` runs the
+    panel-sharded multi-chip path over ``mesh`` (default: all devices).
     """
     if method not in METHODS:
         raise ValueError(f"method must be one of {METHODS}, got {method!r}")
@@ -60,6 +62,17 @@ def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
 
     resolved = _resolve(method, a)
 
+    if resolved == "sharded":
+        from gpu_matrix_inversion_tpu.parallel.sharded import (
+            sharded_batched_inverse, sharded_blocked_inverse)
+        kwargs = {} if block_size is None else {"block_size": block_size}
+        if a.ndim == 2:
+            return sharded_blocked_inverse(a, mesh=mesh, pivot=pivot,
+                                           **kwargs)
+        a3 = a.reshape((-1,) + a.shape[-2:])
+        inv, ok = sharded_batched_inverse(a3, mesh=mesh, pivot=pivot,
+                                          **kwargs)
+        return inv.reshape(a.shape), ok.reshape(a.shape[:-2])
     if resolved == "fused":
         try:
             from gpu_matrix_inversion_tpu.ops.fused import fused_inverse
@@ -89,3 +102,45 @@ def solve(a: jax.Array, b: jax.Array, *, method: str = "auto") -> Tuple[jax.Arra
     x = jnp.matmul(inv, b, preferred_element_type=inv.dtype,
                     precision=jax.lax.Precision.HIGHEST)
     return x, ok
+
+
+class Inverter:
+    """Config-driven inversion session (the reference's compile-time
+    ``#define`` variant selection, main_file.cpp:14-18, as a runtime object).
+
+    Example::
+
+        inv = Inverter(dtype="float32", method="blocked", refine_iters=1)
+        x, ok = inv.inverse(a)
+    """
+
+    def __init__(self, config=None, *, mesh=None, **overrides):
+        from gpu_matrix_inversion_tpu.utils.config import InversionConfig
+        if config is None:
+            config = InversionConfig.from_env(**overrides)
+        elif overrides:
+            import dataclasses
+            config = dataclasses.replace(config, **overrides)
+        self.config = config.validate()
+        self.mesh = mesh
+
+    def _cast(self, a):
+        return jnp.asarray(a, dtype=jnp.dtype(self.config.dtype))
+
+    def inverse(self, a):
+        cfg = self.config
+        a = self._cast(a)
+        x, ok = inverse(a, method=cfg.method, pivot=cfg.pivot,
+                        block_size=cfg.block_size, mesh=self.mesh)
+        if cfg.refine_iters > 0:
+            from gpu_matrix_inversion_tpu.ops.refine import (
+                newton_schulz_refine)
+            x = newton_schulz_refine(a, x, iters=cfg.refine_iters)
+            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(x),
+                                             axis=(-2, -1)))
+        return x, ok
+
+    def solve(self, a, b):
+        cfg = self.config
+        return solve(self._cast(a), jnp.asarray(b, self._cast(a).dtype),
+                     method=cfg.method)
