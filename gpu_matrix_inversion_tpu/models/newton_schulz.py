@@ -1,0 +1,75 @@
+"""Newton-Schulz iterative inversion: a second solver family.
+
+The reference implements exactly one algorithm family (Gauss-Jordan). This
+family computes A^-1 by the quadratically-convergent fixed point
+
+    X_{k+1} = X_k (2I - A X_k)
+
+from the classic Pan-Reif initialization ``X_0 = A^T / (||A||_1 ||A||_inf)``
+(guarantees ||I - A X_0|| < 1 for any nonsingular A in exact arithmetic,
+though convergence speed degrades with conditioning). Each step is two
+GEMMs -- pure MXU work, no pivoting, no data-dependent control flow: the
+most TPU-shaped inversion possible, and the natural bf16-friendly family
+(early iterations can run in bfloat16, late ones in fp32).
+
+Use cases: well-conditioned matrices, warm starts (refining a previous
+inverse after a small update), and as the refinement engine in
+ops/refine.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "mixed"))
+def newton_schulz_inverse(a: jax.Array, *, iters: int = 30,
+                          mixed: bool = False):
+    """Invert ``(..., n, n)`` via Newton-Schulz; returns ``(inv, ok)``.
+
+    Args:
+      iters: fixed iteration count (static; ~2 bits of accuracy doubling per
+        step once contracting).
+      mixed: run the first 2/3 of the iterations in bfloat16 (MXU-friendly),
+        the rest in fp32.
+    """
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
+    n = a.shape[-1]
+    dtype = a.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    hp = jax.lax.Precision.HIGHEST
+
+    # Pan-Reif init: X0 = A^T / (||A||_1 ||A||_inf).
+    norm1 = jnp.max(jnp.sum(jnp.abs(a), axis=-2), axis=-1)   # max col sum
+    norminf = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)  # max row sum
+    denom = (norm1 * norminf)[..., None, None]
+    denom = jnp.where(denom == 0, jnp.ones_like(denom), denom)
+    x = jnp.swapaxes(a, -1, -2) / denom
+
+    lo = int(iters * 2 / 3) if mixed else 0
+
+    def step(x, *, prec, dt):
+        xl = x.astype(dt)
+        al = a.astype(dt)
+        ax = jnp.matmul(al, xl, preferred_element_type=dt, precision=prec)
+        return jnp.matmul(xl, 2 * eye.astype(dt) - ax,
+                          preferred_element_type=dt, precision=prec)
+
+    for i in range(iters):
+        if mixed and i < lo:
+            x = step(x, prec=jax.lax.Precision.DEFAULT, dt=jnp.bfloat16)
+        else:
+            x = step(x.astype(dtype), prec=hp, dt=dtype)
+    x = x.astype(dtype)
+
+    # Converged iff the residual contracted below a loose threshold.
+    r = eye - jnp.matmul(a, x, preferred_element_type=dtype, precision=hp)
+    rnorm = jnp.sqrt(jnp.sum(r * r, axis=(-2, -1)))
+    tol = 1e-3 * n if dtype == jnp.float32 else 1e-10 * n
+    ok = jnp.logical_and(rnorm < tol,
+                         jnp.all(jnp.isfinite(x), axis=(-2, -1)))
+    return x, ok

@@ -9,6 +9,9 @@ point that routes to
                (small N and batched workloads)
 - ``blocked``  blocked Gauss-Jordan with MXU rank-k trailing updates (large N)
 - ``lu``       LU factorization + getri-style triangular solves
+- ``ns``       Newton-Schulz iteration (pivot-free, pure MXU; well-
+               conditioned matrices and warm starts)
+- ``sharded``  panel-sharded multi-chip path over a device mesh
 
 ``auto`` picks by shape: batched or small single matrices go to ``fused``
 (falling back to ``spec`` off-TPU), large single matrices to ``blocked``.
@@ -23,7 +26,7 @@ import jax.numpy as jnp
 
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import gauss_jordan_inverse
 
-METHODS = ("auto", "spec", "fused", "blocked", "lu", "sharded")
+METHODS = ("auto", "spec", "fused", "blocked", "lu", "sharded", "ns")
 
 # Largest N whose augmented (N, 2N) fp32 system comfortably fits VMEM
 # (~16 MB/core): N=1024 -> 8 MB augmented + scratch.
@@ -86,6 +89,10 @@ def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
     if resolved == "lu":
         from gpu_matrix_inversion_tpu.ops.lu import lu_inverse
         return lu_inverse(a)
+    if resolved == "ns":
+        from gpu_matrix_inversion_tpu.models.newton_schulz import (
+            newton_schulz_inverse)
+        return newton_schulz_inverse(a)
     return gauss_jordan_inverse(a, pivot=pivot)
 
 

@@ -17,15 +17,18 @@ Per panel k (pivot columns kb .. kb+b-1):
    the compute dtype is fp32 (pivot *choice* is robust to 8-bit mantissas;
    all subsequent arithmetic uses the fp32 data). Only the pivot-row indices
    escape the kernel.
-2. *Row permutation*: the b swaps are simulated on an index vector and
-   applied to the full matrix as a sparse gather/scatter of at most 2b rows
-   (the reference's pivotElementsKernel, amortized b-fold; a full-matrix
-   gather would move 2*N^2 floats per panel).
-3. *Block elimination*: with D = aug[kb:kb+b, kb:kb+b] after permutation
-   (inverted by a small VMEM GJ kernel), S = D^-1 @ aug[kb:kb+b, :], then
-   aug -= L @ S for rows outside the block (rank-b MXU GEMM) and the block
-   rows become S. In exact arithmetic this equals the b sequential pivoted
-   eliminations (standard blocked-pivoting identity).
+2. *Logical permutation*: rows are never physically moved during
+   elimination (the reference's pivotElementsKernel and a naive blocked
+   equivalent both burn a full pass over the matrix per swap batch).
+   Pivot rows stay in place; a cross-panel used-row mask keeps the search
+   honest, and ONE gather at the very end puts the inverse rows in order.
+3. *Block elimination*: with D = the panel's pivot-row block (inverted by a
+   small VMEM GJ kernel in full precision), S = D^-1 @ block_rows. A single
+   rank-2b MXU GEMM both eliminates every other row AND deposits S into the
+   pivot rows: aug -= [L - P | P] @ [S ; block_rows], where P is the one-hot
+   pivot-row selector -- so each panel makes exactly one read+write pass
+   over the matrix. In exact arithmetic this equals the b sequential
+   pivoted eliminations (standard blocked-pivoting identity).
 
 All shapes are static across panels, so the panel loop is one
 ``lax.fori_loop`` -- no dynamic shapes, no recompilation, one XLA program.
@@ -67,15 +70,17 @@ def _round_up(x: int, m: int) -> int:
 # Pallas kernels
 # --------------------------------------------------------------------------
 
-def _pivot_search_kernel(kb_ref, strip_ref, pivrows_ref, w, *, m: int, b: int,
-                         pivot: bool):
+def _pivot_search_kernel(kb_ref, strip_ref, used_ref, pivrows_ref,
+                         w, *, m: int, b: int, pivot: bool):
     """Swap-free pivot search on the VMEM-resident (m, b) strip.
 
     Runs b Gauss-Jordan steps tracking a used-row mask instead of swapping
     (selecting the max-|value| row among unused rows is mathematically the
-    same pivot sequence as partial pivoting with row exchanges). Emits only
-    the chosen physical row index per step; the caller reconstructs the
-    permutation and re-does the (b, b) pivot-block inverse in full precision.
+    same pivot sequence as partial pivoting with row exchanges). The mask is
+    carried ACROSS panels (rows are never physically moved; the caller
+    reorders once at the very end), so it arrives as an input and leaves as
+    an output. Emits the chosen physical row index per step; the caller
+    re-does the (b, b) pivot-block inverse in full precision.
     """
     dt = w.dtype
     kb = kb_ref[0, 0]
@@ -84,7 +89,12 @@ def _pivot_search_kernel(kb_ref, strip_ref, pivrows_ref, w, *, m: int, b: int,
     sub_b = lax.broadcasted_iota(jnp.int32, (m, b), 0)
     rows_b = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
 
+    # The used mask arrives as a dense (m, 128) broadcast tile: odd-shaped
+    # (m, 1) side inputs DMA-crash the TPU runtime at large m, so keep every
+    # kernel operand a standard full lane tile and reduce it back here.
     w[:, :] = strip_ref[:, :]
+    used0 = jnp.max(used_ref[:, :].astype(jnp.float32), axis=1,
+                    keepdims=True)
     pivrows_ref[:, :] = jnp.zeros((b, 1), jnp.int32)
 
     def step(r, used):
@@ -111,27 +121,32 @@ def _pivot_search_kernel(kb_ref, strip_ref, pivrows_ref, w, *, m: int, b: int,
         w[:, :] = jnp.where(sub_b == p, norm, wv - factors * norm)
         return used
 
-    used0 = jnp.where(rows < kb, jnp.ones((m, 1), jnp.float32),
-                      jnp.zeros((m, 1), jnp.float32))
     lax.fori_loop(jnp.int32(0), jnp.int32(b), step, used0)
 
 
-def _pivot_search(strip: jax.Array, kb: jax.Array, *, m: int, b: int,
-                  pivot: bool, interpret: bool) -> jax.Array:
-    """Run the pivot-search kernel; returns pivot row indices (b,) int32."""
+def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
+                  m: int, b: int, pivot: bool, interpret: bool):
+    """Run the pivot-search kernel; returns pivrows (b,) int32.
+
+    ``used`` (m, 1) travels as a dense (m, 128) broadcast tile (see the
+    kernel docstring); the caller updates the mask itself by scattering the
+    returned pivot rows.
+    """
     kernel = functools.partial(_pivot_search_kernel, m=m, b=b, pivot=pivot)
     kb_arr = jnp.reshape(kb.astype(jnp.int32), (1, 1))
+    used_tile = jnp.broadcast_to(used.astype(strip.dtype), (m, 128))
     pivrows = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
         scratch_shapes=[pltpu.VMEM((m, b), strip.dtype)],
         interpret=interpret,
-    )(kb_arr, strip)
+    )(kb_arr, strip, used_tile)
     return pivrows[:, 0]
 
 
@@ -166,53 +181,6 @@ def _invert_small(dblk: jax.Array, *, pivot: bool, interpret: bool):
         interpret=interpret,
     )(dblk)
     return inv, ok[0, 0] > 0
-
-
-# --------------------------------------------------------------------------
-# Permutation plumbing
-# --------------------------------------------------------------------------
-
-def _perm_from_pivots(pivrows: jax.Array, kb: jax.Array, m: int, b: int):
-    """Simulate the b row swaps on an index vector.
-
-    ``pivrows[r]`` is the *physical* row chosen for panel position kb+r.
-    Returns ``perm`` with ``perm[pos] = physical row now at pos`` -- identity
-    outside at most 2b positions.
-    """
-    rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
-
-    def body(r, carry):
-        perm, pos = carry
-        r = r.astype(jnp.int32)
-        g = kb + r
-        p = lax.dynamic_slice(pivrows, (r,), (1,))  # physical pivot row
-        q = jnp.take(pos, p)                         # its current position
-        at_g = lax.dynamic_slice(perm, (g,), (1,))
-        perm = lax.dynamic_update_slice(perm, p, (g,))
-        perm = jnp.where(rows == q[0], at_g[0], perm)
-        pos = jnp.where(rows == p[0], g, pos)
-        pos = jnp.where(rows == at_g[0], q[0], pos)
-        return perm, pos
-
-    perm, _ = lax.fori_loop(0, b, body, (rows, rows))
-    return perm
-
-
-def _apply_perm_sparse(aug: jax.Array, perm: jax.Array, b: int):
-    """Apply a near-identity row permutation by moving <= 2b rows.
-
-    A whole-matrix ``jnp.take`` streams 2*m^2 floats through HBM per panel;
-    the panel permutation touches at most 2b rows, so gather/scatter just
-    those.
-    """
-    m = aug.shape[0]
-    rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
-    changed = perm != rows
-    order = jnp.argsort(jnp.where(changed, rows, rows + m)).astype(jnp.int32)
-    idx = order[:2 * b]                    # changed positions (+ padding)
-    src = jnp.take(perm, idx)              # rows that move there
-    vals = jnp.take(aug, src, axis=0)      # (2b, 2m) gather
-    return aug.at[idx].set(vals)           # unique indices; padding is a no-op
 
 
 # --------------------------------------------------------------------------
@@ -285,29 +253,69 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     num_panels = m // b
 
+    if use_pallas:
+        # Logical-permutation variant: rows never move during elimination --
+        # a cross-panel "used" mask excludes prior pivot rows from the
+        # search, the panel's row placement is folded into the trailing GEMM
+        # as extra rank (see below), and a single gather at the very end
+        # puts the inverse rows in order. This removes two full passes over
+        # the matrix per panel (permutation gather + row scatter).
+        def panel_step(k, carry):
+            aug, used, pos, ok = carry
+            kb = k.astype(jnp.int32) * b
+            strip = lax.dynamic_slice(aug, (_i0, kb), (m, b))
+            search = strip.astype(jnp.bfloat16) if search_bf16 else strip
+            pivrows = _pivot_search(search, kb, used, m=m, b=b,
+                                    pivot=pivot, interpret=interpret)
+            pos = lax.dynamic_update_slice(pos, pivrows, (kb,))
+
+            dblk = jnp.take(strip, pivrows, axis=0)  # (b, b) full precision
+            dinv, ok_d = _invert_small(dblk, pivot=pivot, interpret=interpret)
+            ok = jnp.logical_and(ok, ok_d)
+
+            block_rows = jnp.take(aug, pivrows, axis=0)  # (b, 2m) gather
+            s = jnp.matmul(dinv, block_rows, preferred_element_type=dtype,
+                           precision=precision)
+
+            # One rank-2b GEMM does the eliminate AND deposits S into the
+            # pivot rows: with P the (m, b) one-hot of pivrows and L the
+            # panel column with pivot rows zeroed,
+            #   aug -= [L - P | P] @ [S ; block_rows]
+            # gives aug[i] - L[i] @ S for ordinary rows and exactly S[r] for
+            # pivot row p_r.
+            psel = (rows == pivrows[None, :]).astype(dtype)     # (m, b)
+            rowmask = jnp.sum(psel, axis=1, keepdims=True)      # (m, 1)
+            used = used + rowmask.astype(jnp.float32)           # mark pivots
+            l_masked = strip * (1 - rowmask)
+            l3 = jnp.concatenate([l_masked - psel, psel], axis=1)  # (m, 2b)
+            s3 = jnp.concatenate([s, block_rows], axis=0)          # (2b, 2m)
+            aug = aug - jnp.matmul(l3, s3, preferred_element_type=dtype,
+                                   precision=precision)
+            return aug, used, pos, ok
+
+        used0 = jnp.zeros((m, 1), jnp.float32)
+        pos0 = lax.broadcasted_iota(jnp.int32, (m,), 0)
+        aug, _, pos, ok = lax.fori_loop(
+            0, num_panels, panel_step,
+            (aug, used0, pos0, jnp.bool_(True)))
+        # Undo the logical permutation once: inverse row g lives at physical
+        # row pos[g].
+        right = lax.dynamic_slice(aug, (_i0, np.int32(m)), (m, m))
+        inv = jnp.take(right, pos, axis=0)[:n, :n]
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(inv)))
+        return inv, ok
+
     def panel_step(k, carry):
         aug, ok = carry
         kb = k.astype(jnp.int32) * b
         strip = lax.dynamic_slice(aug, (_i0, kb), (m, b))
-        if use_pallas:
-            search = strip.astype(jnp.bfloat16) if search_bf16 else strip
-            pivrows = _pivot_search(search, kb, m=m, b=b, pivot=pivot,
-                                    interpret=interpret)
-            perm = _perm_from_pivots(pivrows, kb, m, b)
-            dblk = jnp.take(strip, pivrows, axis=0)  # (b, b), full precision
-            dinv, ok_d = _invert_small(dblk, pivot=pivot, interpret=interpret)
-            ok = jnp.logical_and(ok, ok_d)
-            aug = _apply_perm_sparse(aug, perm, b)
-        else:
-            perm, ok_p = _panel_pivots(strip, kb, m=m, b=b, pivot=pivot)
-            ok = jnp.logical_and(ok, ok_p)
-            aug = jnp.take(aug, perm, axis=0)
-            block_rows0 = lax.dynamic_slice(aug, (kb, _i0), (b, 2 * m))
-            dblk = lax.dynamic_slice(block_rows0, (_i0, kb), (b, b))
-            dinv, ok_d = _gauss_jordan_aug(dblk, pivot=pivot)
-            ok = jnp.logical_and(ok, ok_d)
-
+        perm, ok_p = _panel_pivots(strip, kb, m=m, b=b, pivot=pivot)
+        ok = jnp.logical_and(ok, ok_p)
+        aug = jnp.take(aug, perm, axis=0)
         block_rows = lax.dynamic_slice(aug, (kb, _i0), (b, 2 * m))
+        dblk = lax.dynamic_slice(block_rows, (_i0, kb), (b, b))
+        dinv, ok_d = _gauss_jordan_aug(dblk, pivot=pivot)
+        ok = jnp.logical_and(ok, ok_d)
         s = jnp.matmul(dinv, block_rows, preferred_element_type=dtype,
                        precision=precision)
 
@@ -372,10 +380,15 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
         # panels scale traffic linearly with no benefit, and b > 128 at some
         # m trips a Mosaic runtime bug (hangs the chip at m=1024, b=256).
         b = min(b, 128)
-        itemsize = 2 if search_bf16 else 4
         m = max(_round_up(n, b), b)
-        if 4 * itemsize * m * b > _PANEL_VMEM_BYTES:
-            use_pallas = False  # enormous m: fall back (rare)
+        # Mosaic lane-pads every (m, 1) kernel intermediate to (m, 128) on
+        # the scoped VMEM stack, so the search kernel's footprint is ~5 such
+        # pads + the (m, b) buffers: m = 4096 fits in 16 MB, m = 8192 wants
+        # 22 MB. Beyond 4096 fall back to the jnp panel loop.
+        # TODO: store the kernel's column vectors lane-major ((1, m)) to
+        # lift this cap.
+        if m > 4096:
+            use_pallas = False
     if use_pallas:
         interpret = not tpu_available()
         # Trace/compile in 32-bit land: Mosaic cannot legalize the i64 index

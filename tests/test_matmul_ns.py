@@ -1,0 +1,60 @@
+"""Tests of the Pallas verification GEMM (C8 parity) and the Newton-Schulz
+solver family."""
+
+import numpy as np
+import pytest
+
+from gpu_matrix_inversion_tpu.ops.matmul import pallas_matmul
+from gpu_matrix_inversion_tpu.models.newton_schulz import newton_schulz_inverse
+from gpu_matrix_inversion_tpu.models.solver import inverse
+from gpu_matrix_inversion_tpu.utils.generators import (
+    well_conditioned_matrix, hollow_random_matrix)
+from gpu_matrix_inversion_tpu.utils.residual import relative_residual
+
+
+def test_pallas_matmul_matches_numpy():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((300, 200)).astype(np.float32)
+    b = rng.standard_normal((200, 150)).astype(np.float32)
+    out = np.asarray(pallas_matmul(a, b, block=128))
+    np.testing.assert_allclose(out, a @ b, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_matmul_square_aligned():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((256, 256)).astype(np.float32)
+    out = np.asarray(pallas_matmul(a, a, block=128))
+    np.testing.assert_allclose(out, a @ a, rtol=1e-4, atol=1e-2)
+
+
+def test_pallas_matmul_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        pallas_matmul(np.zeros((3, 4), np.float32), np.zeros((5, 6), np.float32))
+
+
+def test_newton_schulz_well_conditioned():
+    a = well_conditioned_matrix(96, seed=90)
+    x, ok = newton_schulz_inverse(a, iters=25)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(x)) < 1e-5
+
+
+def test_newton_schulz_mixed_precision():
+    a = well_conditioned_matrix(128, seed=91)
+    x, ok = newton_schulz_inverse(a, iters=30, mixed=True)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(x)) < 1e-5
+
+
+def test_newton_schulz_flags_nonconvergence():
+    # Singular matrix: NS cannot converge; ok must be False.
+    a = np.ones((32, 32), dtype=np.float32)
+    _, ok = newton_schulz_inverse(a, iters=10)
+    assert not bool(ok)
+
+
+def test_solver_ns_method():
+    a = well_conditioned_matrix(64, seed=92)
+    x, ok = inverse(a, method="ns")
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(x)) < 1e-5
