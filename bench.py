@@ -40,7 +40,7 @@ def main() -> None:
     from gpu_matrix_inversion_tpu.utils.residual import relative_residual
 
     # --- headline: batched 128^2 throughput (configs[2]) ------------------
-    bs, n = 2048, 128
+    bs, n = 4096, 128
     base = np.stack([hollow_random_matrix(n, seed=i) for i in range(8)])
     batch = jnp.asarray(np.tile(base, (bs // 8, 1, 1)))
 

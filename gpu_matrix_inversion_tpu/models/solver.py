@@ -25,12 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import gauss_jordan_inverse
+from gpu_matrix_inversion_tpu.ops.fused import FUSED_MAX_N
 
 METHODS = ("auto", "spec", "fused", "blocked", "lu", "sharded", "ns")
 
-# Largest N whose augmented (N, 2N) fp32 system comfortably fits VMEM
-# (~16 MB/core): N=1024 -> 8 MB augmented + scratch.
-_FUSED_MAX_N = 1024
 _BLOCKED_MIN_N = 512
 
 
@@ -38,14 +36,13 @@ def _resolve(method: str, a: jax.Array) -> str:
     if method != "auto":
         return method
     n = a.shape[-1]
-    batched = a.ndim > 2
-    if batched and n <= _FUSED_MAX_N:
+    fits_fused = (n <= FUSED_MAX_N
+                  and a.dtype in (jnp.float32, jnp.bfloat16))
+    if fits_fused and (a.ndim > 2 or n < _BLOCKED_MIN_N):
         return "fused"
-    if n >= _BLOCKED_MIN_N:
+    if a.dtype in (jnp.float32, jnp.bfloat16) or n >= _BLOCKED_MIN_N:
         return "blocked"
-    if n <= _FUSED_MAX_N:
-        return "fused"
-    return "blocked"
+    return "spec"
 
 
 def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
