@@ -129,8 +129,16 @@ def gj_eliminate(aug, rows_n: int, cols_n: int, *, pivot: bool,
                          step, jnp.int32(1))
 
 
-def _gj_kernel(a_ref, inv_ref, ok_ref, aug, *, m: int, pivot: bool):
-    """Kernel body: pivoted Gauss-Jordan on the (m, 2m) augmented system."""
+def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, aug, *, m: int, pivot: bool):
+    """Kernel body: pivoted Gauss-Jordan on the (m, 2m) augmented system.
+
+    Swap-free: rows never move (a used-row mask replaces the reference's
+    pivotElementsKernel -- selecting the max-|value| row among unused rows
+    is the same pivot sequence as partial pivoting with exchanges). This
+    cuts the per-step VMEM passes from ~7 (col + two row extracts + swap
+    select + update) to ~4; the caller reorders the inverse rows once with
+    the emitted position vector.
+    """
     f32 = aug.dtype
     # makeAugmentedMatrix (reference FP32.cpp:198-215): [A | I] in VMEM.
     # NOTE: build the eye from fresh (m, m) iotas -- lane-slicing a larger
@@ -141,9 +149,49 @@ def _gj_kernel(a_ref, inv_ref, ok_ref, aug, *, m: int, pivot: bool):
     aug[:, m:] = jnp.where(li == si, jnp.ones((m, m), f32),
                            jnp.zeros((m, m), f32))
 
-    ok = gj_eliminate(aug, m, 2 * m, pivot=pivot)
+    lane = lax.broadcasted_iota(jnp.int32, (m, 2 * m), 1)
+    sub = lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    pos_ref[0] = rows
 
-    # getInvertedMatrix (FP32.cpp:216-226): extract the right half.
+    def step(r, carry):
+        used, ok = carry
+        full = aug[:, :]
+        # Pivot column r: masked lane reduction (no dynamic lane slicing).
+        col = jnp.sum(jnp.where(lane == r, full, jnp.zeros_like(full)),
+                      axis=1, keepdims=True)  # (m, 1)
+        if pivot:
+            # maxPivot/finalMaxPivot (FP32.cpp:68-142) over UNUSED rows;
+            # manual int32 argmax (jnp.argmax emits int64 under x64).
+            cand = jnp.where(used > 0, jnp.full_like(col, -1), jnp.abs(col))
+            mval = jnp.max(cand)
+            p = jnp.min(jnp.where(cand == mval, rows,
+                                  jnp.full_like(rows, m)))
+        else:
+            p = r
+        piv = jnp.sum(jnp.where(rows == p, col, jnp.zeros_like(col)))
+        ok = ok * (piv != 0).astype(jnp.int32)
+        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)
+        used = jnp.where(rows == p, jnp.ones_like(used), used)
+        pos_ref[0] = jnp.where(rows == r, p, pos_ref[0])
+
+        # fixRowKernel (FP32.cpp:150-164): normalize pivot row p in place.
+        pivot_row = jnp.sum(jnp.where(sub == p, full, jnp.zeros_like(full)),
+                            axis=0, keepdims=True)  # (1, 2m)
+        norm_row = pivot_row / piv_safe
+
+        # fixColumnKernel (FP32.cpp:17-63): rank-1 eliminate all other rows
+        # and deposit the normalized pivot row, one fused pass.
+        factors = jnp.where(rows == p, jnp.zeros_like(col), col)
+        aug[:, :] = jnp.where(sub == p, norm_row, full - factors * norm_row)
+        return used, ok
+
+    used0 = jnp.zeros((m, 1), jnp.float32)
+    _, ok = lax.fori_loop(jnp.int32(0), jnp.int32(m), step,
+                          (used0, jnp.int32(1)))
+
+    # getInvertedMatrix (FP32.cpp:216-226): right half, still in pivot-row
+    # order (the caller gathers rows by pos to restore natural order).
     inv = aug[:, m:]
     # Finite check without bool reductions (Mosaic-friendly): 0*x sums to 0
     # iff every element is finite (NaN/Inf poison the sum).
@@ -170,7 +218,7 @@ def _fused_batched(a, *, pivot: bool, interpret: bool):
         a = pad
 
     kernel = functools.partial(_gj_kernel, m=m, pivot=pivot)
-    inv, ok = pl.pallas_call(
+    inv, pos, ok = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
@@ -178,16 +226,21 @@ def _fused_batched(a, *, pivot: bool, interpret: bool):
         out_specs=(
             pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, m, m), a.dtype),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((m, 2 * m), a.dtype)],
         interpret=interpret,
     )(a)
+    # Undo the logical permutation: inverse row g is at physical row pos[g].
+    inv = jnp.take_along_axis(inv, pos[:, :, 0][:, :, None], axis=1)
     return inv[:, :n, :n], ok[:, 0, 0] > 0
 
 
