@@ -56,13 +56,13 @@ def _done_sizes(path: str) -> set:
     return done
 
 
-def sweep_numpy(max_n: int, out, *, repeat: int = 1, skip=()):
+def sweep_numpy(max_n: int, out, *, repeat: int = 1, skip=(), sizes=None):
     """C14 parity: NumPy/LAPACK CPU baseline sweep (matrix_inv_numpy.py)."""
     from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
     from gpu_matrix_inversion_tpu.utils.residual import (
         reference_error_metric, relative_residual)
 
-    for n in reference_sizes(max_n):
+    for n in (sizes if sizes is not None else reference_sizes(max_n)):
         if n in skip:
             continue
         a = hollow_random_matrix(n, seed=n)
@@ -78,7 +78,7 @@ def sweep_numpy(max_n: int, out, *, repeat: int = 1, skip=()):
 
 
 def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
-              dtype=np.float32, skip=()):
+              dtype=np.float32, skip=(), sizes=None):
     """C9/C13 parity: device sweep with Res-style phase timings per row.
 
     Row format: ``N t_buffers t_compile t_compute t_readback t_total
@@ -92,7 +92,7 @@ def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
     from gpu_matrix_inversion_tpu.utils.residual import (
         reference_error_metric, relative_residual)
 
-    for n in reference_sizes(max_n):
+    for n in (sizes if sizes is not None else reference_sizes(max_n)):
         if n in skip:
             continue
         a_host = hollow_random_matrix(n, seed=n, dtype=dtype)
@@ -147,20 +147,27 @@ def main(argv=None):
                     help="FP64 sweep (reference FP64_bench path)")
     ap.add_argument("--resume", action="store_true",
                     help="skip sizes already present in --out")
+    ap.add_argument("--sizes", default=None,
+                    help="comma-separated explicit sizes (overrides the "
+                         "reference ramp; useful on TPU where every new "
+                         "shape recompiles)")
     args = ap.parse_args(argv)
 
     skip = _done_sizes(args.out) if args.resume else set()
+    sizes = ([int(x) for x in args.sizes.split(",")] if args.sizes else None)
     out = sys.stdout if args.out == "-" else open(args.out, "a")
     try:
         if args.numpy_baseline:
-            sweep_numpy(args.max_n, out, repeat=args.repeat, skip=skip)
+            sweep_numpy(args.max_n, out, repeat=args.repeat, skip=skip,
+                        sizes=sizes)
         else:
             dtype = np.float64 if args.fp64 else np.float32
             if args.fp64:
                 import jax
                 jax.config.update("jax_enable_x64", True)
             sweep_tpu(args.max_n, out, method=args.method,
-                      repeat=args.repeat, dtype=dtype, skip=skip)
+                      repeat=args.repeat, dtype=dtype, skip=skip,
+                      sizes=sizes)
     finally:
         if out is not sys.stdout:
             out.close()
