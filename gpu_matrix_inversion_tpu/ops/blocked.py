@@ -97,31 +97,46 @@ def _pivot_search_kernel(kb_ref, strip_ref, used_ref, pivrows_ref,
                     keepdims=True)
     pivrows_ref[:, :] = jnp.zeros((b, 1), jnp.int32)
 
-    def step(r, used):
+    lane_row = lax.broadcasted_iota(jnp.int32, (1, b), 1)
+
+    def step(r, carry):
+        # col carried from the previous update pass (saves one traversal);
+        # pivot chosen by a single packed-key max (|value| bits + reversed
+        # row index for first-match tie-breaks) -- see ops/fused.py.
+        used, col = carry
         wv = w[:, :]
-        col = jnp.sum(jnp.where(lane_b == r, wv, jnp.zeros_like(wv)),
-                      axis=1, keepdims=True)  # (m, 1)
         colf = col.astype(jnp.float32)
         if pivot:
-            cand = jnp.where(used > 0, jnp.full_like(colf, -1),
-                             jnp.abs(colf))
-            mval = jnp.max(cand)
-            p = jnp.min(jnp.where(cand == mval, rows, jnp.full_like(rows, m)))
+            bits = lax.bitcast_convert_type(jnp.abs(colf), jnp.int32)
+            # m <= 4096 fits in 12 low bits.
+            key = jnp.where(used > 0, jnp.full_like(rows, -1),
+                            (bits & ~jnp.int32(4095))
+                            | (jnp.int32(4095) - rows))
+            kmax = jnp.max(key)
+            p = jnp.int32(4095) - (kmax & jnp.int32(4095))
         else:
             p = kb + r
-        piv = jnp.sum(jnp.where(rows == p, colf, jnp.zeros_like(colf)))
-        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv).astype(dt)
         used = jnp.where(rows == p, jnp.ones_like(used), used)
         pivrows_ref[:, :] = jnp.where(rows_b == r, p, pivrows_ref[:, :])
 
         row_p = jnp.sum(jnp.where(sub_b == p, wv, jnp.zeros_like(wv)),
                         axis=0, keepdims=True)  # (1, b)
+        piv = jnp.sum(jnp.where(lane_row == r, row_p,
+                                jnp.zeros_like(row_p))).astype(jnp.float32)
+        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv).astype(dt)
         norm = row_p / piv_safe
         factors = jnp.where(rows == p, jnp.zeros_like(col), col)
-        w[:, :] = jnp.where(sub_b == p, norm, wv - factors * norm)
-        return used
+        new_w = jnp.where(sub_b == p, norm, wv - factors * norm)
+        w[:, :] = new_w
+        col_next = jnp.sum(jnp.where(lane_b == r + 1, new_w,
+                                     jnp.zeros_like(new_w)),
+                           axis=1, keepdims=True)
+        return used, col_next
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(b), step, used0)
+    col0 = jnp.sum(jnp.where(lane_b == 0, w[:, :],
+                             jnp.zeros((m, b), dt)),
+                   axis=1, keepdims=True)
+    lax.fori_loop(jnp.int32(0), jnp.int32(b), step, (used0, col0))
 
 
 def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,

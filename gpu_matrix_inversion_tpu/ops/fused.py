@@ -154,41 +154,59 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, aug, *, m: int, pivot: bool):
     rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     pos_ref[0] = rows
 
+    lane_row = lax.broadcasted_iota(jnp.int32, (1, 2 * m), 1)
+
     def step(r, carry):
-        used, ok = carry
+        # col (the current pivot column) is carried from the previous step's
+        # update pass, saving a full (m, 2m) extraction traversal per step.
+        used, ok, col = carry
         full = aug[:, :]
-        # Pivot column r: masked lane reduction (no dynamic lane slicing).
-        col = jnp.sum(jnp.where(lane == r, full, jnp.zeros_like(full)),
-                      axis=1, keepdims=True)  # (m, 1)
         if pivot:
-            # maxPivot/finalMaxPivot (FP32.cpp:68-142) over UNUSED rows;
-            # manual int32 argmax (jnp.argmax emits int64 under x64).
-            cand = jnp.where(used > 0, jnp.full_like(col, -1), jnp.abs(col))
-            mval = jnp.max(cand)
-            p = jnp.min(jnp.where(cand == mval, rows,
-                                  jnp.full_like(rows, m)))
+            # maxPivot/finalMaxPivot (FP32.cpp:68-142) over UNUSED rows, as
+            # ONE packed-key max reduction: the int32 bit pattern of a
+            # nonnegative f32 is value-monotonic, so pack |col| (top 22
+            # bits) with (1023 - row) for first-match tie-breaking. Saves
+            # two of the per-step cross-vreg reduction chains (the old
+            # min-index pass and the separate pivot-value extract).
+            bits = lax.bitcast_convert_type(jnp.abs(col), jnp.int32)
+            key = jnp.where(used > 0, jnp.full_like(rows, -1),
+                            (bits & ~jnp.int32(1023))
+                            | (jnp.int32(1023) - rows))
+            kmax = jnp.max(key)
+            p = jnp.int32(1023) - (kmax & jnp.int32(1023))
         else:
             p = r
-        piv = jnp.sum(jnp.where(rows == p, col, jnp.zeros_like(col)))
-        ok = ok * (piv != 0).astype(jnp.int32)
-        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)
         used = jnp.where(rows == p, jnp.ones_like(used), used)
         pos_ref[0] = jnp.where(rows == r, p, pos_ref[0])
 
         # fixRowKernel (FP32.cpp:150-164): normalize pivot row p in place.
+        # The pivot value comes from the extracted row (cheap (1, 2m) lane
+        # reduce) rather than another (m, 1) sublane reduce.
         pivot_row = jnp.sum(jnp.where(sub == p, full, jnp.zeros_like(full)),
                             axis=0, keepdims=True)  # (1, 2m)
+        piv = jnp.sum(jnp.where(lane_row == r, pivot_row,
+                                jnp.zeros_like(pivot_row)))
+        ok = ok * (piv != 0).astype(jnp.int32)
+        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)
         norm_row = pivot_row / piv_safe
 
         # fixColumnKernel (FP32.cpp:17-63): rank-1 eliminate all other rows
-        # and deposit the normalized pivot row, one fused pass.
+        # and deposit the normalized pivot row, one fused pass -- which also
+        # yields the NEXT pivot column while the updated values are live.
         factors = jnp.where(rows == p, jnp.zeros_like(col), col)
-        aug[:, :] = jnp.where(sub == p, norm_row, full - factors * norm_row)
-        return used, ok
+        new_full = jnp.where(sub == p, norm_row, full - factors * norm_row)
+        aug[:, :] = new_full
+        col_next = jnp.sum(jnp.where(lane == r + 1, new_full,
+                                     jnp.zeros_like(new_full)),
+                           axis=1, keepdims=True)
+        return used, ok, col_next
 
     used0 = jnp.zeros((m, 1), jnp.float32)
-    _, ok = lax.fori_loop(jnp.int32(0), jnp.int32(m), step,
-                          (used0, jnp.int32(1)))
+    col0 = jnp.sum(jnp.where(lane == 0, aug[:, :],
+                             jnp.zeros((m, 2 * m), f32)),
+                   axis=1, keepdims=True)
+    _, ok, _ = lax.fori_loop(jnp.int32(0), jnp.int32(m), step,
+                             (used0, jnp.int32(1), col0))
 
     # getInvertedMatrix (FP32.cpp:216-226): right half, still in pivot-row
     # order (the caller gathers rows by pos to restore natural order).
