@@ -8,12 +8,13 @@ augmented ``[A|I]`` system lives in a VMEM scratch buffer and the entire
 r-loop runs inside ONE Pallas kernel: zero kernel launches, zero host syncs,
 zero HBM round-trips between iterations.
 
-Data-dependent pivoting is expressed TPU-style: the pivot-column extract is a
-masked lane reduction, the argmax a sublane reduction, and the row swap two
-dynamic sublane slices -- no divergent branches (contrast the reference's
-workgroup tree reduction + serial final scan, FP32.cpp:68-142, whose
-``__local float2 vector[1000]`` caps N at 256,000; this design has no such
-cap below VMEM capacity).
+Data-dependent pivoting is expressed TPU-style with zero divergent branches
+and zero row movement: the pivot column is carried between steps, the pivot
+choice is ONE packed-key max reduction over unused rows, elimination+deposit
+is one fused pass, and the caller restores row order with a single gather
+(contrast the reference's workgroup tree reduction + serial final scan,
+FP32.cpp:68-142, whose ``__local float2 vector[1000]`` caps N at 256,000;
+this design has no such cap below VMEM capacity).
 
 Batching: the kernel is gridded over the batch dimension, so ``B`` matrices
 invert as ``B`` independent grid programs (the vmapped-fused path of
