@@ -59,9 +59,23 @@ def matrix_inv_32(flat, order: int) -> np.ndarray:
     return _invert_flat(flat, order, np.float32, pivot=True)
 
 
-def matrix_inversion_fp32(flat, order: int) -> np.ndarray:
-    """Reference ``matrix_inversion_FP32()`` (headers.h:8)."""
-    return _invert_flat(flat, order, np.float32, pivot=True)
+def matrix_inversion_fp32(flat, order: int, *, verbose: bool = False) -> np.ndarray:
+    """Reference ``matrix_inversion_FP32()`` (headers.h:8).
+
+    ``verbose=True`` reproduces the reference's chatty single-shot path
+    (device-capability dump at startup, per-phase timing report --
+    FP32.cpp:304-333, :711-723) on top of the same contract."""
+    if not verbose:
+        return _invert_flat(flat, order, np.float32, pivot=True)
+    import json
+    from gpu_matrix_inversion_tpu.utils.profiling import (
+        device_info, print_phase_report)
+    print("device:", json.dumps(device_info()))
+    res = _bench(flat, order, np.float32, pivot=True)
+    print_phase_report(res, order)
+    if not res.ok:
+        return np.empty(0, dtype=np.float32)
+    return res.inversa32
 
 
 def matrix_inversion_fp64(flat, order: int) -> np.ndarray:

@@ -1,0 +1,47 @@
+"""Parameter-surface tests of the blocked path (group_size, refine,
+precision) and accuracy on an ill-conditioned input."""
+
+import numpy as np
+import pytest
+
+from gpu_matrix_inversion_tpu.ops.blocked import blocked_inverse
+from gpu_matrix_inversion_tpu.utils.generators import (
+    hollow_random_matrix,
+    ill_conditioned_matrix,
+)
+from gpu_matrix_inversion_tpu.utils.residual import relative_residual
+
+
+def test_group_sizes_agree():
+    a = hollow_random_matrix(512, seed=100)
+    for g in (1, 2, 4):
+        inv, ok = blocked_inverse(a, block_size=128, group_size=g)
+        assert bool(ok)
+        assert relative_residual(a, np.asarray(inv)) < 1e-5, f"group={g}"
+
+
+def test_refine_improves_residual():
+    a = hollow_random_matrix(512, seed=101)
+    raw, ok0 = blocked_inverse(a, refine=0)
+    ref, ok1 = blocked_inverse(a, refine=1)
+    assert bool(ok0) and bool(ok1)
+    assert (relative_residual(a, np.asarray(ref))
+            <= relative_residual(a, np.asarray(raw)))
+
+
+def test_bad_precision_rejected():
+    with pytest.raises(ValueError):
+        blocked_inverse(np.eye(64, dtype=np.float32), precision="bogus")
+
+
+def test_ill_conditioned_with_refine():
+    a = ill_conditioned_matrix(256, cond=1e5, seed=102)
+    inv, ok = blocked_inverse(a, refine=2)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5
+
+
+def test_refine_keeps_singular_flag():
+    a = np.ones((256, 256), dtype=np.float32)
+    _, ok = blocked_inverse(a, refine=1)
+    assert not bool(ok)
