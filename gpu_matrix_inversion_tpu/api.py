@@ -159,7 +159,11 @@ def matrix_multiply(inverse_flat, a_flat, order: int) -> float:
     a = validate_flat_matrix(a_flat, order)
     if inv is None or a is None:
         return float("nan")
-    prod = jnp.matmul(jnp.asarray(inv, jnp.float32), jnp.asarray(a, jnp.float32),
-                      preferred_element_type=jnp.float32,
+    # The reference's verification GEMM runs in double (simpleMultiply,
+    # matrix_multiply.cpp:17-36); honor fp64 inputs when x64 is available.
+    dt = (jnp.float64 if (np.asarray(inv).dtype == np.float64
+                          and jax.config.jax_enable_x64) else jnp.float32)
+    prod = jnp.matmul(jnp.asarray(inv, dt), jnp.asarray(a, dt),
+                      preferred_element_type=dt,
                       precision=jax.lax.Precision.HIGHEST)
     return reference_error_metric(np.eye(order), np.asarray(prod))
