@@ -99,7 +99,13 @@ def solve(a: jax.Array, b: jax.Array, *, method: str = "auto") -> Tuple[jax.Arra
     For the LU method this uses forward/back substitution; other methods form
     the explicit inverse (matching the reference, which only ever inverts).
     """
-    if method == "lu" or (method == "auto" and a.shape[-1] >= _BLOCKED_MIN_N):
+    a = jnp.asarray(a)
+    lu_auto = (method == "auto" and a.shape[-1] >= _BLOCKED_MIN_N
+               and (a.dtype == jnp.float64 or a.shape[-1] < 2048))
+    if method == "lu" or lu_auto:
+        # Triangular solves (getrs). For large fp32 systems the spec-level
+        # LU loop is slower than inverting via the blocked MXU path and
+        # multiplying (the reference also only ever forms inverses).
         from gpu_matrix_inversion_tpu.ops.lu import lu_solve_matrix
         return lu_solve_matrix(a, b)
     inv, ok = inverse(a, method=method)

@@ -78,9 +78,10 @@ def _pivot_search_kernel(kb_ref, strip_ref, used_ref, pivrows_ref,
     (selecting the max-|value| row among unused rows is mathematically the
     same pivot sequence as partial pivoting with row exchanges). The mask is
     carried ACROSS panels (rows are never physically moved; the caller
-    reorders once at the very end), so it arrives as an input and leaves as
-    an output. Emits the chosen physical row index per step; the caller
-    re-does the (b, b) pivot-block inverse in full precision.
+    reorders once at the very end) and arrives as an input; the caller
+    updates it by scattering the returned pivot rows. Emits the chosen
+    physical row index per step; the caller re-does the (b, b) pivot-block
+    inverse in full precision.
     """
     dt = w.dtype
     kb = kb_ref[0, 0]
