@@ -84,7 +84,11 @@ def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
         kwargs = {} if block_size is None else {"block_size": block_size}
         return blocked_inverse(a, pivot=pivot, **kwargs)
     if resolved == "lu":
-        from gpu_matrix_inversion_tpu.ops.lu import lu_inverse
+        from gpu_matrix_inversion_tpu.ops.lu import lu_inverse, lu_inverse_fast
+        # Blocked getrf/getrs for sizes where panel GEMMs pay off; the
+        # spec-level loops for small systems.
+        if a.shape[-1] >= 256:
+            return lu_inverse_fast(a)
         return lu_inverse(a)
     if resolved == "ns":
         from gpu_matrix_inversion_tpu.models.newton_schulz import (
@@ -100,12 +104,16 @@ def solve(a: jax.Array, b: jax.Array, *, method: str = "auto") -> Tuple[jax.Arra
     the explicit inverse (matching the reference, which only ever inverts).
     """
     a = jnp.asarray(a)
-    lu_auto = (method == "auto" and a.shape[-1] >= _BLOCKED_MIN_N
-               and (a.dtype == jnp.float64 or a.shape[-1] < 2048))
+    lu_auto = (method == "auto" and a.shape[-1] >= _BLOCKED_MIN_N)
     if method == "lu" or lu_auto:
-        # Triangular solves (getrs). For large fp32 systems the spec-level
-        # LU loop is slower than inverting via the blocked MXU path and
-        # multiplying (the reference also only ever forms inverses).
+        # Triangular solves (getrs); blocked factor + XLA triangular-solve
+        # primitive for sizes where panel GEMMs pay off.
+        if a.shape[-1] >= 256:
+            from gpu_matrix_inversion_tpu.ops.lu import (
+                lu_factor_blocked, lu_solve_fast)
+            lu, perm, ok_f = lu_factor_blocked(a)
+            x, ok_s = lu_solve_fast(lu, perm, b)
+            return x, jnp.logical_and(ok_f, ok_s)
         from gpu_matrix_inversion_tpu.ops.lu import lu_solve_matrix
         return lu_solve_matrix(a, b)
     inv, ok = inverse(a, method=method)

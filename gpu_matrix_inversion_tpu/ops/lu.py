@@ -153,3 +153,161 @@ def lu_solve_matrix(a: jax.Array, b: jax.Array):
     lu, perm, ok_f = lu_factor(a)
     x, ok_s = lu_solve(lu, perm, b)
     return x, jnp.logical_and(ok_f, ok_s)
+
+
+# --------------------------------------------------------------------------
+# Blocked LU: the performance getrf/getrs (pure XLA -- fori panels + rank-b
+# MXU trailing updates; same logical-permutation design as ops/blocked.py).
+# --------------------------------------------------------------------------
+
+def _lu_panel(strip, used, kb, *, m: int, b: int, pivot: bool):
+    """Factor an (m, b) panel with no-swap partial pivoting.
+
+    Multipliers are stored in place below the (logical) diagonal; ``used``
+    excludes prior pivot rows from the search. Returns
+    ``(w, pivrows, used, ok)``.
+    """
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    lane_b = lax.broadcasted_iota(jnp.int32, (m, b), 1)
+
+    def step(r, carry):
+        w, used, pivrows, ok = carry
+        r = r.astype(jnp.int32)
+        col = lax.dynamic_slice(w, (_i0, r), (m, 1))
+        if pivot:
+            cand = jnp.where(used > 0, jnp.full_like(col, -1), jnp.abs(col))
+            p = jnp.argmax(cand[:, 0]).astype(jnp.int32)
+        else:
+            p = kb + r
+        piv = lax.dynamic_slice(col, (p, _i0), (1, 1))[0, 0]
+        ok = jnp.logical_and(ok, piv != 0)
+        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)
+
+        eliminable = jnp.logical_and(used == 0, rows != p)  # (m, 1)
+        f = jnp.where(eliminable, col / piv_safe, jnp.zeros_like(col))
+        used = jnp.where(rows == p, jnp.ones_like(used), used)
+        pivrows = lax.dynamic_update_slice(pivrows, p[None], (r,))
+
+        row_p = lax.dynamic_slice(w, (p, _i0), (1, b))
+        upd = jnp.where(lane_b > r, f * row_p, jnp.zeros_like(w))
+        w = w - upd
+        # Store the multipliers in panel column r (eliminated rows only).
+        w = jnp.where(jnp.logical_and(lane_b == r, eliminable),
+                      jnp.broadcast_to(f, (m, b)), w)
+        return w, used, pivrows, ok
+
+    pivrows0 = jnp.zeros((b,), jnp.int32)
+    w, used, pivrows, ok = lax.fori_loop(
+        0, b, step, (strip, used, pivrows0, jnp.bool_(True)))
+    return w, pivrows, used, ok
+
+
+def _lu_factor_blocked_2d(a, *, b: int, pivot: bool):
+    n = a.shape[-1]
+    m = max(((n + b - 1) // b) * b, b)
+    dtype = a.dtype
+    if m != n:
+        apad = jnp.eye(m, dtype=dtype)
+        apad = lax.dynamic_update_slice(apad, a, (0, 0))
+        a = apad
+
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    lane_b1 = lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    tri_b = (lax.broadcasted_iota(jnp.int32, (b, b), 0)
+             > lax.broadcasted_iota(jnp.int32, (b, b), 1))
+
+    def panel_step(k, carry):
+        lu, used, pos, ok = carry
+        kb = k.astype(jnp.int32) * b
+        used_before = used
+        strip = lax.dynamic_slice(lu, (_i0, kb), (m, b))
+        w, pivrows, used, okp = _lu_panel(strip, used, kb, m=m, b=b,
+                                          pivot=pivot)
+        ok = jnp.logical_and(ok, okp)
+        lu = lax.dynamic_update_slice(lu, w, (_i0, kb))
+        pos = lax.dynamic_update_slice(pos, pivrows, (kb,))
+
+        # Truncated multiplier matrix: L[i, r] is live iff row i was
+        # eliminated at step r (still unpivoted then, and not used before
+        # the panel).
+        order = jnp.full((m,), b, jnp.int32).at[pivrows].set(
+            jnp.arange(b, dtype=jnp.int32))
+        lmask = (order[:, None] > lane_b1).astype(dtype)
+        l_trunc = w * lmask * (1 - used_before.astype(dtype))
+
+        # U rows for the trailing columns: unit-lower solve against the
+        # panel-local multiplier block.
+        l11 = jnp.where(tri_b, jnp.take(w, pivrows, axis=0),
+                        jnp.zeros((b, b), dtype))
+        l11 = l11 + jnp.eye(b, dtype=dtype)
+        arows = jnp.take(lu, pivrows, axis=0)  # (b, m)
+        u_all = lax.linalg.triangular_solve(
+            l11, arows, left_side=True, lower=True, unit_diagonal=True)
+        u_rest = jnp.where(lane_m >= kb + b, u_all, jnp.zeros_like(u_all))
+
+        # Rank-b MXU trailing update; Lmask truncation makes it apply the
+        # right partial sums to this panel's own pivot rows too (their rest
+        # columns become U rows).
+        lu = lu - jnp.matmul(l_trunc, u_rest, preferred_element_type=dtype,
+                             precision=jax.lax.Precision.HIGHEST)
+        return lu, used, pos, ok
+
+    used0 = jnp.zeros((m, 1), jnp.float32)
+    pos0 = lax.broadcasted_iota(jnp.int32, (m,), 0)
+    lu, _, pos, ok = lax.fori_loop(0, m // b, panel_step,
+                                   (a, used0, pos0, jnp.bool_(True)))
+    # Standard LAPACK orientation: row g of the packed factor is U row g /
+    # the multipliers of the row ending up at position g.
+    lu = jnp.take(lu, pos, axis=0)[:n, :n]
+    perm = pos[:n]
+    ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(lu)))
+    return lu, perm, ok
+
+
+@functools.partial(jax.jit, static_argnames=("pivot", "block_size"))
+def lu_factor_blocked(a: jax.Array, *, pivot: bool = True,
+                      block_size: int = 128):
+    """Blocked getrf: panel factorization + rank-b MXU trailing updates
+    (the fast path; :func:`lu_factor` is the executable spec). Returns
+    ``(lu, perm, ok)`` with the same convention as :func:`lu_factor`."""
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
+    batch, n = a.shape[:-2], a.shape[-1]
+    b = min(block_size, max(n, 8))
+    fn = functools.partial(_lu_factor_blocked_2d, b=b, pivot=pivot)
+    a3 = a.reshape((-1, n, n))
+    lu, perm, ok = jax.vmap(fn)(a3)
+    return lu.reshape(a.shape), perm.reshape(batch + (n,)), ok.reshape(batch)
+
+
+@jax.jit
+def lu_solve_fast(lu: jax.Array, perm: jax.Array, b: jax.Array):
+    """Blocked getrs via the XLA triangular-solve primitive (the fast path;
+    :func:`lu_solve` is the executable spec). Returns ``(x, ok)``."""
+    n = lu.shape[-1]
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           > jax.lax.broadcasted_iota(jnp.int32, (n, n), 1))
+    lmat = jnp.where(tri, lu, jnp.zeros_like(lu)) + jnp.eye(n, dtype=lu.dtype)
+    umat = jnp.where(tri, jnp.zeros_like(lu), lu)
+    y = jnp.take(b, perm, axis=-2)
+    y = lax.linalg.triangular_solve(lmat, y, left_side=True, lower=True,
+                                    unit_diagonal=True)
+    x = lax.linalg.triangular_solve(umat, y, left_side=True, lower=False)
+    diag = jnp.diagonal(umat, axis1=-2, axis2=-1)
+    ok = jnp.logical_and(jnp.all(diag != 0, axis=-1),
+                         jnp.all(jnp.isfinite(x), axis=(-2, -1)))
+    return x, ok
+
+
+@jax.jit
+def lu_inverse_fast(a: jax.Array):
+    """Blocked getri: blocked factor + triangular solves against I.
+
+    Returns ``(inverse, ok)`` -- the performance version of
+    :func:`lu_inverse`."""
+    n = a.shape[-1]
+    lu, perm, ok_f = lu_factor_blocked(a)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    inv, ok_s = lu_solve_fast(lu, perm, eye)
+    return inv, jnp.logical_and(ok_f, ok_s)
