@@ -75,8 +75,15 @@ def main() -> None:
         inv, ok = blocked_inverse(a, block_size=256, refine=0)
         return jnp.sum(inv) + ok.astype(jnp.float32)
 
+    @jax.jit
+    def probe_lu(a):
+        from gpu_matrix_inversion_tpu.ops.lu import lu_inverse_fast
+        inv, ok = lu_inverse_fast(a)
+        return jnp.sum(inv) + ok.astype(jnp.float32)
+
     t_blocked = _bench(probe_blocked, a_big)
     t_blocked_raw = _bench(probe_blocked_raw, a_big)
+    t_lu = _bench(probe_lu, a_big)
     gflops_blocked = 4 * n_big**3 / t_blocked / 1e9
 
     # --- correctness gate (BASELINE: <=1e-4 rel residual) ------------------
@@ -92,6 +99,7 @@ def main() -> None:
         "numpy_inv_per_s": round(np_inv_per_s, 1),
         "blocked_4096_ms": round(t_blocked * 1e3, 1),
         "blocked_4096_ms_no_refine": round(t_blocked_raw * 1e3, 1),
+        "lu_getri_4096_ms": round(t_lu * 1e3, 1),
         "blocked_4096_gflops_4n3": round(gflops_blocked, 1),
         "residual_128_fused": float(f"{resid:.3g}"),
         "ok": bool(ok_small),
