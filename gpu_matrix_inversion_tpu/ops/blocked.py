@@ -199,6 +199,46 @@ def _invert_small(dblk: jax.Array, *, pivot: bool, interpret: bool):
     return inv, ok[0, 0] > 0
 
 
+def _panel_pivots_logical(strip: jax.Array, used: jax.Array, kb, *, m: int,
+                          b: int, pivot: bool):
+    """Pure-jnp swap-free panel pivot search (any dtype).
+
+    The jnp twin of ``_pivot_search_kernel``: b Gauss-Jordan steps on the
+    (m, b) strip with a used-row mask instead of row exchanges. Used by the
+    multi-chip path (runs replicated inside shard_map, where Pallas interpret
+    mode is unavailable and dtypes include fp64).
+
+    Returns ``(pivrows (b,), used, ok)``.
+    """
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+
+    def step(r, carry):
+        w, used, pivrows, ok = carry
+        r = r.astype(jnp.int32)
+        col = lax.dynamic_slice(w, (_i0, r), (m, 1))
+        if pivot:
+            cand = jnp.where(used > 0, jnp.full_like(col, -1), jnp.abs(col))
+            p = jnp.argmax(cand[:, 0]).astype(jnp.int32)
+        else:
+            p = kb + r
+        piv = lax.dynamic_slice(col, (p, _i0), (1, 1))[0, 0]
+        ok = jnp.logical_and(ok, piv != 0)
+        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)
+        used = jnp.where(rows == p, jnp.ones_like(used), used)
+        pivrows = lax.dynamic_update_slice(pivrows, p[None], (r,))
+
+        row_p = lax.dynamic_slice(w, (p, _i0), (1, b))
+        norm = row_p / piv_safe
+        factors = jnp.where(rows == p, jnp.zeros_like(col), col)
+        w = jnp.where(rows == p, norm, w - factors * norm)
+        return w, used, pivrows, ok
+
+    pivrows0 = jnp.zeros((b,), jnp.int32)
+    _, used, pivrows, ok = lax.fori_loop(
+        0, b, step, (strip, used, pivrows0, jnp.bool_(True)))
+    return pivrows, used, ok
+
+
 # --------------------------------------------------------------------------
 # jnp fallback panel factorization (FP64 path)
 # --------------------------------------------------------------------------

@@ -7,13 +7,15 @@ column-sharding the augmented (m, 2m) system over a mesh axis. SPMD design
 1. *Panel gather*: the (m, b) pivot-panel strip lives on one shard; a single
    ``psum`` of a masked slice broadcasts it to every device (the TPU analog
    of the reference's pivot-row broadcast; on hardware this rides ICI).
-2. *Replicated pivot search*: every device runs the strip factorization
-   redundantly (identical data -> identical permutation; dedupes control
-   flow, no divergence) -- the mesh-scale generalization of the reference's
-   two-stage workgroup argmax (FP32.cpp:68-142).
-3. *Local update*: each device permutes its own rows (no comm -- rows are
-   fully local under column sharding), computes S_loc = D^-1 @ block_rows_loc
-   and the rank-b trailing update on its own column shard (local MXU GEMMs).
+2. *Replicated swap-free pivot search*: every device runs the strip
+   factorization redundantly (identical data -> identical pivots; dedupes
+   control flow, no divergence, no index exchange) -- the mesh-scale
+   generalization of the reference's two-stage workgroup argmax
+   (FP32.cpp:68-142).
+3. *Local update*: rows never move (logical permutation; the final reorder
+   is a purely local gather under column sharding). Each device computes
+   S_loc = D^-1 @ block_rows_loc and one rank-2b trailing GEMM on its own
+   column shard that both eliminates and deposits the scaled pivot rows.
 
 Comm volume: one (m, b) psum per panel = m^2 floats total for the whole
 inversion -- a 16384^2 FP32 inversion moves ~1 GB over ICI, far below the
@@ -35,7 +37,8 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import _gauss_jordan_aug, _i0
-from gpu_matrix_inversion_tpu.ops.blocked import _panel_pivots, _round_up
+from gpu_matrix_inversion_tpu.ops.blocked import (_panel_pivots_logical,
+                                                  _round_up)
 from gpu_matrix_inversion_tpu.parallel.mesh import make_device_mesh
 
 try:  # jax >= 0.6 exposes shard_map at top level
@@ -46,14 +49,21 @@ except AttributeError:  # pragma: no cover
 
 def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, pivot: bool,
               axis: str):
-    """Per-device body: aug_loc is the (m, w) local column shard."""
+    """Per-device body: aug_loc is the (m, w) local column shard.
+
+    Logical permutation (see ops/blocked.py): rows never move, a replicated
+    used-row mask keeps the pivot search honest, the panel's row placement
+    is folded into the rank-2b trailing GEMM, and the caller reorders the
+    inverse rows once at the end (a purely local gather under column
+    sharding). Per panel the ONLY communication is the one strip psum.
+    """
     dtype = aug_loc.dtype
     my = lax.axis_index(axis).astype(jnp.int32)
     rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     num_panels = m // b
 
     def panel_step(k, carry):
-        aug_loc, ok = carry
+        aug_loc, used, pos, ok = carry
         kb = k.astype(jnp.int32) * b
         owner = kb // w
 
@@ -64,27 +74,35 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, pivot: bool,
         strip = lax.psum(jnp.where(my == owner, cand, jnp.zeros_like(cand)),
                          axis)
 
-        # 2. Replicated pivot search (identical inputs on every device).
-        perm, ok_p = _panel_pivots(strip, kb, m=m, b=b, pivot=pivot)
-
-        # 3. Local row permutation + block elimination.
-        aug_loc = jnp.take(aug_loc, perm, axis=0)
-        strip_p = jnp.take(strip, perm, axis=0)
-        dblk = lax.dynamic_slice(strip_p, (kb, _i0), (b, b))
+        # 2. Replicated swap-free pivot search (identical inputs on every
+        # device -> identical pivots, no index exchange).
+        pivrows, used, ok_p = _panel_pivots_logical(strip, used, kb, m=m,
+                                                    b=b, pivot=pivot)
+        pos = lax.dynamic_update_slice(pos, pivrows, (kb,))
+        dblk = jnp.take(strip, pivrows, axis=0)
         dinv, ok_d = _gauss_jordan_aug(dblk, pivot=pivot)
-        block_rows = lax.dynamic_slice(aug_loc, (kb, _i0), (b, w))
+
+        # 3. Local block elimination: one rank-2b GEMM eliminates and
+        # deposits the scaled pivot rows (ops/blocked.py's [L-P | P] trick).
+        block_rows = jnp.take(aug_loc, pivrows, axis=0)  # (b, w) local
         s_loc = jnp.matmul(dinv, block_rows, preferred_element_type=dtype,
                            precision=jax.lax.Precision.HIGHEST)
-        in_block = jnp.logical_and(rows >= kb, rows < kb + b)
-        l_masked = jnp.where(in_block, jnp.zeros_like(strip_p), strip_p)
-        aug_loc = aug_loc - jnp.matmul(l_masked, s_loc,
-                                       preferred_element_type=dtype,
+        psel = (rows == pivrows[None, :]).astype(dtype)   # (m, b)
+        rowmask = jnp.sum(psel, axis=1, keepdims=True)
+        l_masked = strip * (1 - rowmask.astype(strip.dtype))
+        l3 = jnp.concatenate([l_masked.astype(dtype) - psel, psel], axis=1)
+        s3 = jnp.concatenate([s_loc, block_rows], axis=0)
+        aug_loc = aug_loc - jnp.matmul(l3, s3, preferred_element_type=dtype,
                                        precision=jax.lax.Precision.HIGHEST)
-        aug_loc = lax.dynamic_update_slice(aug_loc, s_loc, (kb, _i0))
-        return aug_loc, jnp.logical_and(ok, jnp.logical_and(ok_p, ok_d))
+        return aug_loc, used, pos, jnp.logical_and(
+            ok, jnp.logical_and(ok_p, ok_d))
 
-    aug_loc, ok = lax.fori_loop(0, num_panels, panel_step,
-                                (aug_loc, jnp.bool_(True)))
+    used0 = jnp.zeros((m, 1), jnp.float32)
+    pos0 = lax.broadcasted_iota(jnp.int32, (m,), 0)
+    aug_loc, _, pos, ok = lax.fori_loop(
+        0, num_panels, panel_step, (aug_loc, used0, pos0, jnp.bool_(True)))
+    # Restore row order (local gather: rows are unsharded).
+    aug_loc = jnp.take(aug_loc, pos, axis=0)
     return aug_loc, ok.reshape(1)
 
 
