@@ -169,7 +169,8 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, aug, *, m: int, pivot: bool):
             # bits) with (1023 - row) for first-match tie-breaking. Saves
             # two of the per-step cross-vreg reduction chains (the old
             # min-index pass and the separate pivot-value extract).
-            bits = lax.bitcast_convert_type(jnp.abs(col), jnp.int32)
+            bits = lax.bitcast_convert_type(
+                jnp.abs(col).astype(jnp.float32), jnp.int32)
             key = jnp.where(used > 0, jnp.full_like(rows, -1),
                             (bits & ~jnp.int32(1023))
                             | (jnp.int32(1023) - rows))

@@ -57,3 +57,14 @@ def test_fused_no_pivot():
     inv, ok = fused_inverse(a, pivot=False)
     assert bool(ok)
     assert relative_residual(a, np.asarray(inv)) < 1e-5
+
+
+def test_fused_bfloat16_smoke():
+    import jax.numpy as jnp
+    a = hollow_random_matrix(64, seed=24).astype(jnp.bfloat16)
+    inv, ok = fused_inverse(a)
+    assert bool(ok)
+    assert inv.dtype == jnp.bfloat16
+    # bf16 has ~3 significant digits; loose gate.
+    assert relative_residual(np.asarray(a, np.float64),
+                             np.asarray(inv, np.float64)) < 1e-2
