@@ -275,6 +275,11 @@ def fused_inverse(a: jax.Array, *, pivot: bool = True):
         raise NotImplementedError(
             f"fused Pallas kernel serves fp32/bf16; got {a.dtype} "
             "(FP64 routes to the jnp spec / blocked path)")
+    if a.dtype == jnp.bfloat16 and tpu_available():
+        # Compiles in interpret mode but trips a Mosaic internal error on
+        # hardware (jax 0.9.0); route bf16 through the jnp spec there.
+        raise NotImplementedError("bf16 fused kernel miscompiles on this "
+                                  "Mosaic toolchain; use the jnp spec")
     n = a.shape[-1]
     if n > FUSED_MAX_N:
         raise NotImplementedError(

@@ -88,3 +88,15 @@ def test_newton_schulz_improves():
                               np.asarray(x0, dtype=np.float64), iters=2,
                               residual_dtype=np.float64)
     assert relative_residual(a, np.asarray(x1)) < 1e-10
+
+
+def test_lu_no_pivot_on_dominant_diagonal():
+    from gpu_matrix_inversion_tpu.utils.generators import (
+        well_conditioned_matrix)
+    a = well_conditioned_matrix(48, seed=57, dtype=np.float64)
+    lu, perm, ok = lu_factor(a, pivot=False)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(perm), np.arange(48))
+    x, ok2 = lu_solve(lu, perm, np.eye(48))
+    assert bool(ok2)
+    assert relative_residual(a, np.asarray(x)) < 1e-10
