@@ -11,6 +11,7 @@ from gpu_matrix_inversion_tpu.ops.lu import (
     lu_solve_fast,
     lu_inverse,
     lu_inverse_fast,
+    cond_estimate,
 )
 from gpu_matrix_inversion_tpu.ops.refine import (
     newton_schulz_refine,
@@ -26,6 +27,7 @@ __all__ = [
     "lu_solve_fast",
     "lu_inverse",
     "lu_inverse_fast",
+    "cond_estimate",
     "newton_schulz_refine",
     "lu_inverse_refined",
 ]

@@ -100,3 +100,14 @@ def test_lu_no_pivot_on_dominant_diagonal():
     x, ok2 = lu_solve(lu, perm, np.eye(48))
     assert bool(ok2)
     assert relative_residual(a, np.asarray(x)) < 1e-10
+
+
+def test_cond_estimate():
+    from gpu_matrix_inversion_tpu.ops.lu import cond_estimate
+    from gpu_matrix_inversion_tpu.utils.generators import (
+        ill_conditioned_matrix)
+    a = ill_conditioned_matrix(128, cond=1e4, seed=58, dtype=np.float64)
+    inv = np.linalg.inv(a)
+    est = float(cond_estimate(a, inv, iters=16))
+    true = np.linalg.cond(a)
+    assert 0.3 * true < est < 3 * true
