@@ -22,6 +22,7 @@ extern "C" {
 int matinv_tpu_init(void);
 int matrix_inv_32(const float* data, int n, float* out);
 int matrix_inv_64(const double* data, int n, double* out);
+int matrix_solve_32(const float* a, const float* b, int n, int k, float* out);
 void matinv_hollow_random(float* out, int n, uint64_t seed, float lo,
                           float hi);
 double matinv_reference_error(const double* inv, const double* a, int n);
@@ -65,12 +66,37 @@ static int run_one(int n, bool fp64) {
   return 0;
 }
 
+static int run_solve(int n) {
+  std::vector<float> a((size_t)n * n), b((size_t)n), x((size_t)n);
+  matinv_hollow_random(a.data(), n, (uint64_t)n, 0.0f, 100.0f);
+  for (int i = 0; i < n; ++i) b[i] = (float)(i % 7) - 3.0f;
+  int rc = matrix_solve_32(a.data(), b.data(), n, 1, x.data());
+  if (rc != 0) {
+    std::printf("%d SOLVE FAILED rc=%d\n", n, rc);
+    return rc;
+  }
+  // residual ||A x - b||_inf
+  double worst = 0.0;
+  for (int i = 0; i < n; ++i) {
+    double acc = 0.0;
+    for (int j = 0; j < n; ++j) acc += (double)a[(size_t)i * n + j] * x[j];
+    double d = acc - b[i];
+    if (d < 0) d = -d;
+    if (d > worst) worst = d;
+  }
+  std::printf("solve %d: max|Ax-b| = %.3e\n", n, worst);
+  return worst < 1e-2 ? 0 : 4;
+}
+
 int main(int argc, char** argv) {
   bool fp64 = false;
+  bool solve = false;
   std::vector<int> args;
   for (int i = 1; i < argc; ++i) {
     if (std::strcmp(argv[i], "--fp64") == 0)
       fp64 = true;
+    else if (std::strcmp(argv[i], "--solve") == 0)
+      solve = true;
     else
       args.push_back(std::atoi(argv[i]));
   }
@@ -83,6 +109,7 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "matinv_tpu_init failed\n");
     return 3;
   }
+  if (solve) return run_solve(args[0]);
   if (args.size() == 1) return run_one(args[0], fp64);
   int start = args[0], stop = args[1], step = args.size() > 2 ? args[2] : 10;
   for (int n = start; n <= stop; n += step) {

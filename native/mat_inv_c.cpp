@@ -48,6 +48,14 @@ def _invert(buf, n, dtype):
     fn = mi.matrix_inv_32 if dtype == "float32" else mi.matrix_inversion_fp64
     out = fn(a, n)
     return out.tobytes() if out.size else b""
+
+def _solve(abuf, bbuf, n, k, dtype):
+    import numpy as np
+    import gpu_matrix_inversion_tpu as mi
+    a = np.frombuffer(abuf, dtype=dtype, count=n * n).reshape(n, n)
+    b = np.frombuffer(bbuf, dtype=dtype, count=n * k).reshape(n, k)
+    x, ok = mi.solve(a, b)
+    return np.asarray(x, dtype=dtype).tobytes() if bool(ok) else b""
 )PY";
 
 // Ensure the interpreter + helper namespace exist. Returns 0 on success.
@@ -140,6 +148,50 @@ int matrix_inv_32(const float* data, int n, float* out) {
 // FP64 inversion (reference matrix_inversion_FP64, headers.h:9).
 int matrix_inv_64(const double* data, int n, double* out) {
   return invert_impl(data, n, out, "float64");
+}
+
+// Solve A x = b for k right-hand sides (column-major-agnostic: row-major
+// n x n A, n x k b). The reference has no solve API; status contract as
+// matrix_inv_32.
+int matrix_solve_32(const float* a, const float* b, int n, int k,
+                    float* out) {
+  if (a == nullptr || b == nullptr || out == nullptr || n <= 0 || k <= 0)
+    return 1;
+  if (int rc = ensure_init()) return rc;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  int status = 0;
+  const Py_ssize_t abytes = (Py_ssize_t)n * n * (Py_ssize_t)sizeof(float);
+  const Py_ssize_t bbytes = (Py_ssize_t)n * k * (Py_ssize_t)sizeof(float);
+  PyObject* av = PyMemoryView_FromMemory(
+      reinterpret_cast<char*>(const_cast<float*>(a)), abytes, PyBUF_READ);
+  PyObject* bv = PyMemoryView_FromMemory(
+      reinterpret_cast<char*>(const_cast<float*>(b)), bbytes, PyBUF_READ);
+  PyObject* fn = PyDict_GetItemString(g_ns, "_solve");  // borrowed
+  PyObject* result = (av && bv)
+      ? PyObject_CallFunction(fn, "OOiis", av, bv, n, k, "float32")
+      : nullptr;
+  if (result == nullptr) {
+    PyErr_Print();
+    status = -3;
+  } else {
+    char* buf = nullptr;
+    Py_ssize_t len = 0;
+    if (PyBytes_AsStringAndSize(result, &buf, &len) != 0) {
+      PyErr_Print();
+      status = -4;
+    } else if (len == 0) {
+      status = 1;
+    } else if (len != bbytes) {
+      status = -5;
+    } else {
+      std::memcpy(out, buf, (size_t)len);
+    }
+    Py_DECREF(result);
+  }
+  Py_XDECREF(av);
+  Py_XDECREF(bv);
+  PyGILState_Release(gil);
+  return status;
 }
 
 }  // extern "C"
