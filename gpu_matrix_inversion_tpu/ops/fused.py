@@ -237,7 +237,9 @@ def _pack_for(m: int) -> int:
 def _fused_batched(a, *, pivot: bool, interpret: bool):
     b0, n, _ = a.shape
     m = max(_round_up(n, 128), 128)
-    pack = _pack_for(m)
+    # Interpret mode (CPU tests) evaluates the unrolled pack bodies serially
+    # -- no latency to hide, just slower traces -- so keep it at 1 there.
+    pack = 1 if interpret else _pack_for(m)
     b = ((b0 + pack - 1) // pack) * pack
     if m != n or b != b0:
         # Pad to blockdiag(A, I): inverse is blockdiag(inv(A), I) and padded
