@@ -87,3 +87,21 @@ def test_matrix_multiply_residual():
     err = matrix_multiply(inv, a.reshape(-1), n)
     # The reference's metric sqrt(N) - ||inv @ A||_F ~ 0 for a good inverse.
     assert abs(err) < 1e-2
+
+
+def test_order_one_and_two():
+    # Smallest orders (the reference sweep starts at N=10 but the contract
+    # allows any positive order).
+    out = matrix_inv_32([4.0], 1)
+    np.testing.assert_allclose(out, [0.25])
+    out2 = matrix_inv_32([1.0, 2.0, 3.0, 4.0], 2)
+    np.testing.assert_allclose(out2.reshape(2, 2),
+                               np.linalg.inv([[1.0, 2.0], [3.0, 4.0]]),
+                               rtol=1e-5)
+
+
+def test_accepts_2d_and_list_inputs():
+    a = hollow_random_matrix(16, seed=12)
+    from_2d = matrix_inv_32(a, 16)          # 2D array
+    from_list = matrix_inv_32(a.reshape(-1).tolist(), 16)  # python list
+    np.testing.assert_array_equal(from_2d, from_list)
