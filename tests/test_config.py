@@ -82,3 +82,17 @@ def test_sweep_resume(tmp_path):
     rows = out.read_text().strip().splitlines()
     assert len(rows) == 4
     assert rows[-1].startswith("40 ")
+
+
+def test_inverter_sharded_method():
+    import jax
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("needs virtual CPU devices")
+    from gpu_matrix_inversion_tpu.parallel import make_device_mesh
+    mesh = make_device_mesh(4, ("x",), platform="cpu")
+    a = hollow_random_matrix(64, seed=83)
+    inv = Inverter(dtype="float32", method="sharded", block_size=16,
+                   mesh=mesh)
+    x, ok = inv.inverse(a)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(x)) < 1e-5
