@@ -12,8 +12,13 @@ Reference surface (``headers.h:7-16``, ``Matlab/mat_inv_32.h:4``):
 Contract: flat row-major vector + matrix order in; inverse as flat vector
 out; **empty vector** on any failure -- non-square input, order <= 0, or a
 singular matrix (``matrix_inversion_FP32.cpp:11-12``, ``README.md:53-54``,
-``mat_inv_32.cpp:206-215``). This module is the host-side shell; all compute
-routes through :mod:`gpu_matrix_inversion_tpu.models.solver` onto TPU.
+``mat_inv_32.cpp:206-215``). Deliberate deviation: the reference also maps
+*internal* errors (cl_int throws) to the empty vector
+(``mat_inv_32.cpp:391-394``); here internal failures raise -- swallowing
+infrastructure errors as "singular matrix" misdiagnoses real bugs.
+
+This module is the host-side shell; all compute routes through
+:mod:`gpu_matrix_inversion_tpu.models.solver` onto TPU.
 """
 
 from __future__ import annotations
