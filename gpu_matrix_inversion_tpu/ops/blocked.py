@@ -240,55 +240,6 @@ def _panel_pivots_logical(strip: jax.Array, used: jax.Array, kb, *, m: int,
 
 
 # --------------------------------------------------------------------------
-# jnp fallback panel factorization (FP64 path)
-# --------------------------------------------------------------------------
-
-def _panel_pivots(strip: jax.Array, kb: jax.Array, *, m: int, b: int,
-                  pivot: bool):
-    """Pure-jnp pivoted GJ over the (m, b) strip; returns (perm, ok)."""
-    rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
-    perm0 = rows
-
-    def step(r, carry):
-        w, perm, ok = carry
-        r = r.astype(jnp.int32)
-        g = kb + r
-        col = lax.dynamic_slice(w, (_i0, r), (m, 1))[:, 0]
-        if pivot:
-            cand = jnp.where(rows >= g, jnp.abs(col), jnp.full_like(col, -1))
-            p = jnp.argmax(cand).astype(jnp.int32)
-        else:
-            p = g
-        piv = lax.dynamic_slice(col, (p,), (1,))[0]
-        ok = jnp.logical_and(ok, piv != 0)
-        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)
-
-        row_g = lax.dynamic_slice(w, (g, _i0), (1, b))
-        row_p = lax.dynamic_slice(w, (p, _i0), (1, b))
-        if pivot:
-            w = lax.dynamic_update_slice(w, row_g, (p, _i0))
-            w = lax.dynamic_update_slice(w, row_p, (g, _i0))
-            pg = lax.dynamic_slice(perm, (g,), (1,))
-            pp = lax.dynamic_slice(perm, (p,), (1,))
-            perm = lax.dynamic_update_slice(perm, pg, (p,))
-            perm = lax.dynamic_update_slice(perm, pp, (g,))
-            col_at_g = lax.dynamic_slice(col, (g,), (1,))[0]
-            col = jnp.where(rows == g, piv, jnp.where(rows == p, col_at_g, col))
-            pivot_row = row_p
-        else:
-            pivot_row = row_g
-
-        norm_row = pivot_row / piv_safe
-        factors = jnp.where(rows == g, jnp.zeros_like(col), col)[:, None]
-        w = w - factors * norm_row
-        w = lax.dynamic_update_slice(w, norm_row, (g, _i0))
-        return w, perm, ok
-
-    _, perm, ok = lax.fori_loop(0, b, step, (strip, perm0, jnp.bool_(True)))
-    return perm, ok
-
-
-# --------------------------------------------------------------------------
 # Blocked driver
 # --------------------------------------------------------------------------
 
@@ -310,116 +261,98 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     num_panels = m // b
 
-    if use_pallas:
-        # Logical-permutation variant: rows never move during elimination --
-        # a cross-panel "used" mask excludes prior pivot rows from the
-        # search, the panel's row placement is folded into the trailing GEMM
-        # as extra rank (see below), and a single gather at the very end
-        # puts the inverse rows in order. This removes two full passes over
-        # the matrix per panel (permutation gather + row scatter).
-        # Two-level grouping: process `group` consecutive panels against a
-        # VMEM-sized working set [O | G] where O is the outer strip (the
-        # group's columns) and G a progressively-injected identity probe.
-        # After the group, G - E^T IS the group's composite column transform
-        # C (T X = X + C @ X[pivot rows] -- exact: T_j e_p = e_p for any
-        # not-yet-pivot row p, so late injection is sound), so the whole
-        # matrix is touched ONCE per group (rank-group*b GEMM) instead of
-        # once per panel: 4x fewer full passes at group=4.
-        group = max(1, min(group_size, num_panels))
-        while num_panels % group:
-            group -= 1
-        gw = group * b
+    # Logical-permutation scheme for every dtype: rows never move during
+    # elimination -- a cross-panel "used" mask excludes prior pivot rows
+    # from the search, the panel's row placement is folded into the
+    # trailing GEMM as extra rank, and a single gather at the very end puts
+    # the inverse rows in order. Panel factorization runs in a Pallas VMEM
+    # kernel for fp32/bf16 and as a jnp loop otherwise (fp64, m > 4096).
+    #
+    # Two-level grouping: `group` consecutive panels are processed against
+    # a VMEM-sized working set [O | G] where O is the outer strip (the
+    # group's columns) and G a progressively-injected identity probe. After
+    # the group, G - E^T IS the group's composite column transform C
+    # (T X = X + C @ X[pivot rows] -- exact: T_j e_p = e_p for any
+    # not-yet-pivot row p, so late injection is sound), so the whole matrix
+    # is touched ONCE per group (rank-group*b GEMM) instead of once per
+    # panel: 4x fewer full passes at group=4.
+    group = max(1, min(group_size, num_panels))
+    while num_panels % group:
+        group -= 1
+    gw = group * b
 
-        def group_step(kk, carry):
-            aug, used, pos, ok = carry
-            kb0 = kk.astype(jnp.int32) * gw
-            og = jnp.concatenate(
-                [lax.dynamic_slice(aug, (_i0, kb0), (m, gw)),
-                 jnp.zeros((m, gw), dtype)], axis=1)  # [O | G]
-            pivtot = jnp.zeros((gw,), jnp.int32)
+    def factor(strip, kb, used):
+        """Panel pivot rows + full-precision pivot-block inverse."""
+        if use_pallas:
+            search = strip.astype(jnp.bfloat16) if search_bf16 else strip
+            pivrows = _pivot_search(search, kb, used, m=m, b=b,
+                                    pivot=pivot, interpret=interpret)
+            dblk = jnp.take(strip, pivrows, axis=0)
+            dinv, ok_f = _invert_small(dblk, pivot=pivot,
+                                       interpret=interpret)
+        else:
+            pivrows, _, ok_p = _panel_pivots_logical(strip, used, kb, m=m,
+                                                     b=b, pivot=pivot)
+            dblk = jnp.take(strip, pivrows, axis=0)
+            dinv, ok_d = _gauss_jordan_aug(dblk, pivot=pivot)
+            ok_f = jnp.logical_and(ok_p, ok_d)
+        return pivrows, dinv, ok_f
 
-            for i in range(group):  # static unroll; all slices static
-                ib = i * b
-                strip = og[:, ib:ib + b]
-                search = (strip.astype(jnp.bfloat16) if search_bf16
-                          else strip)
-                pivrows = _pivot_search(search, kb0 + ib, used, m=m, b=b,
-                                        pivot=pivot, interpret=interpret)
-                pos = lax.dynamic_update_slice(pos, pivrows, (kb0 + ib,))
-                pivtot = lax.dynamic_update_slice(pivtot, pivrows,
-                                                  (np.int32(ib),))
+    def group_step(kk, carry):
+        aug, used, pos, ok = carry
+        kb0 = kk.astype(jnp.int32) * gw
+        og = jnp.concatenate(
+            [lax.dynamic_slice(aug, (_i0, kb0), (m, gw)),
+             jnp.zeros((m, gw), dtype)], axis=1)  # [O | G]
+        pivtot = jnp.zeros((gw,), jnp.int32)
 
-                dblk = jnp.take(strip, pivrows, axis=0)
-                dinv, ok_d = _invert_small(dblk, pivot=pivot,
-                                           interpret=interpret)
-                ok = jnp.logical_and(ok, ok_d)
+        for i in range(group):  # static unroll; all slices static
+            ib = i * b
+            strip = og[:, ib:ib + b]
+            pivrows, dinv, ok_f = factor(strip, kb0 + ib, used)
+            ok = jnp.logical_and(ok, ok_f)
+            pos = lax.dynamic_update_slice(pos, pivrows, (kb0 + ib,))
+            pivtot = lax.dynamic_update_slice(pivtot, pivrows,
+                                              (np.int32(ib),))
 
-                psel = (rows == pivrows[None, :]).astype(dtype)   # (m, b)
-                rowmask = jnp.sum(psel, axis=1, keepdims=True)
-                used = used + rowmask.astype(jnp.float32)
-                # Inject this panel's identity probe columns BEFORE its own
-                # update (prior transforms act as identity on them).
-                og = og.at[:, gw + ib:gw + ib + b].set(psel)
+            psel = (rows == pivrows[None, :]).astype(dtype)   # (m, b)
+            rowmask = jnp.sum(psel, axis=1, keepdims=True)
+            used = used + rowmask.astype(jnp.float32)
+            # Inject this panel's identity probe columns BEFORE its own
+            # update (prior transforms act as identity on them).
+            og = og.at[:, gw + ib:gw + ib + b].set(psel)
 
-                block_rows = jnp.take(og, pivrows, axis=0)  # (b, 2gw)
-                s = jnp.matmul(dinv, block_rows,
+            block_rows = jnp.take(og, pivrows, axis=0)  # (b, 2gw)
+            s = jnp.matmul(dinv, block_rows,
+                           preferred_element_type=dtype,
+                           precision=precision)
+            l_masked = strip * (1 - rowmask)
+            l3 = jnp.concatenate([l_masked - psel, psel], axis=1)
+            s3 = jnp.concatenate([s, block_rows], axis=0)
+            og = og - jnp.matmul(l3, s3, preferred_element_type=dtype,
+                                 precision=precision)
+
+        # Composite transform: C = G_final - E^T; apply to the whole matrix
+        # in one rank-gw GEMM, then overwrite the group's own columns with
+        # the already-finished O (the GEMM double-applies there, harmlessly,
+        # before the overwrite).
+        etot = (rows == pivtot[None, :]).astype(dtype)       # (m, gw)
+        c = og[:, gw:] - etot
+        aug = aug + jnp.matmul(c, jnp.take(aug, pivtot, axis=0),
                                preferred_element_type=dtype,
                                precision=precision)
-                l_masked = strip * (1 - rowmask)
-                l3 = jnp.concatenate([l_masked - psel, psel], axis=1)
-                s3 = jnp.concatenate([s, block_rows], axis=0)
-                og = og - jnp.matmul(l3, s3, preferred_element_type=dtype,
-                                     precision=precision)
+        aug = lax.dynamic_update_slice(aug, og[:, :gw], (_i0, kb0))
+        return aug, used, pos, ok
 
-            # Composite transform: C = G_final - E^T; apply to the whole
-            # matrix in one rank-gw GEMM, then overwrite the group's own
-            # columns with the already-finished O (the GEMM double-applies
-            # there, harmlessly, before the overwrite).
-            etot = (rows == pivtot[None, :]).astype(dtype)       # (m, gw)
-            c = og[:, gw:] - etot
-            aug = aug + jnp.matmul(c, jnp.take(aug, pivtot, axis=0),
-                                   preferred_element_type=dtype,
-                                   precision=precision)
-            aug = lax.dynamic_update_slice(aug, og[:, :gw], (_i0, kb0))
-            return aug, used, pos, ok
-
-        used0 = jnp.zeros((m, 1), jnp.float32)
-        pos0 = lax.broadcasted_iota(jnp.int32, (m,), 0)
-        aug, _, pos, ok = lax.fori_loop(
-            0, num_panels // group, group_step,
-            (aug, used0, pos0, jnp.bool_(True)))
-        # Undo the logical permutation once: inverse row g lives at physical
-        # row pos[g].
-        right = lax.dynamic_slice(aug, (_i0, np.int32(m)), (m, m))
-        inv = jnp.take(right, pos, axis=0)[:n, :n]
-        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(inv)))
-        return inv, ok
-
-    def panel_step(k, carry):
-        aug, ok = carry
-        kb = k.astype(jnp.int32) * b
-        strip = lax.dynamic_slice(aug, (_i0, kb), (m, b))
-        perm, ok_p = _panel_pivots(strip, kb, m=m, b=b, pivot=pivot)
-        ok = jnp.logical_and(ok, ok_p)
-        aug = jnp.take(aug, perm, axis=0)
-        block_rows = lax.dynamic_slice(aug, (kb, _i0), (b, 2 * m))
-        dblk = lax.dynamic_slice(block_rows, (_i0, kb), (b, b))
-        dinv, ok_d = _gauss_jordan_aug(dblk, pivot=pivot)
-        ok = jnp.logical_and(ok, ok_d)
-        s = jnp.matmul(dinv, block_rows, preferred_element_type=dtype,
-                       precision=precision)
-
-        panel_cols = lax.dynamic_slice(aug, (_i0, kb), (m, b))
-        in_block = jnp.logical_and(rows >= kb, rows < kb + b)
-        l_masked = jnp.where(in_block, jnp.zeros_like(panel_cols), panel_cols)
-        # The rank-b MXU trailing update (replaces b fixColumnKernel passes).
-        aug = aug - jnp.matmul(l_masked, s, preferred_element_type=dtype,
-                               precision=precision)
-        aug = lax.dynamic_update_slice(aug, s, (kb, _i0))
-        return aug, ok
-
-    aug, ok = lax.fori_loop(0, num_panels, panel_step, (aug, jnp.bool_(True)))
-    inv = lax.dynamic_slice(aug, (_i0, np.int32(m)), (m, m))[:n, :n]
+    used0 = jnp.zeros((m, 1), jnp.float32)
+    pos0 = lax.broadcasted_iota(jnp.int32, (m,), 0)
+    aug, _, pos, ok = lax.fori_loop(
+        0, num_panels // group, group_step,
+        (aug, used0, pos0, jnp.bool_(True)))
+    # Undo the logical permutation once: inverse row g lives at physical
+    # row pos[g].
+    right = lax.dynamic_slice(aug, (_i0, np.int32(m)), (m, m))
+    inv = jnp.take(right, pos, axis=0)[:n, :n]
     ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(inv)))
     return inv, ok
 
