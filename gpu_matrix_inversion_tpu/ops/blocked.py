@@ -70,73 +70,71 @@ def _round_up(x: int, m: int) -> int:
 # Pallas kernels
 # --------------------------------------------------------------------------
 
-def _pivot_search_kernel(kb_ref, strip_ref, used_ref, pivrows_ref,
+def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
                          w, *, m: int, b: int, pivot: bool):
-    """Swap-free pivot search on the VMEM-resident (m, b) strip.
+    """Swap-free pivot search on the VMEM-resident TRANSPOSED (b, m) strip.
 
     Runs b Gauss-Jordan steps tracking a used-row mask instead of swapping
     (selecting the max-|value| row among unused rows is mathematically the
     same pivot sequence as partial pivoting with row exchanges). The mask is
-    carried ACROSS panels (rows are never physically moved; the caller
-    reorders once at the very end) and arrives as an input; the caller
-    updates it by scattering the returned pivot rows. Emits the chosen
-    physical row index per step; the caller re-does the (b, b) pivot-block
-    inverse in full precision.
+    carried ACROSS panels (rows never physically move; the caller reorders
+    once at the very end) and arrives as an input; the caller updates it by
+    scattering the returned pivot rows.
+
+    Lane-major layout: the strip is transposed so every length-m vector
+    (used mask, current column, packed pivot key) is a (1, m) ROW -- Mosaic
+    lane-pads (m, 1) temporaries to (m, 128) on the scoped VMEM stack, which
+    capped the old row-major kernel at m = 4096; lane-major vectors pad to
+    (8, m) instead (16x smaller) and lane reductions are faster than sublane
+    ones. Iotas are kept to (1, m)/(b, 1) shapes for the same reason.
     """
     dt = w.dtype
     kb = kb_ref[0, 0]
-    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    lane_b = lax.broadcasted_iota(jnp.int32, (m, b), 1)
-    sub_b = lax.broadcasted_iota(jnp.int32, (m, b), 0)
-    rows_b = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)   # strip-row ids
+    rows_b = lax.broadcasted_iota(jnp.int32, (b, 1), 0)   # panel-column ids
 
-    # The used mask arrives as a dense (m, 128) broadcast tile: odd-shaped
-    # (m, 1) side inputs DMA-crash the TPU runtime at large m, so keep every
-    # kernel operand a standard full lane tile and reduce it back here.
-    w[:, :] = strip_ref[:, :]
-    used0 = jnp.max(used_ref[:, :].astype(jnp.float32), axis=1,
-                    keepdims=True)
+    w[:, :] = stripT_ref[:, :]
+    used0 = jnp.max(used_ref[:, :].astype(jnp.float32), axis=0,
+                    keepdims=True)  # (1, m)
     pivrows_ref[:, :] = jnp.zeros((b, 1), jnp.int32)
 
-    lane_row = lax.broadcasted_iota(jnp.int32, (1, b), 1)
-
     def step(r, carry):
-        # col carried from the previous update pass (saves one traversal);
-        # pivot chosen by a single packed-key max (|value| bits + reversed
-        # row index for first-match tie-breaks) -- see ops/fused.py.
+        # col (1, m) carried from the previous update pass (saves one
+        # traversal); pivot chosen by a single packed-key max (|value| bits
+        # + reversed row index for first-match ties) -- see ops/fused.py.
         used, col = carry
         wv = w[:, :]
-        colf = col.astype(jnp.float32)
         if pivot:
-            bits = lax.bitcast_convert_type(jnp.abs(colf), jnp.int32)
-            # m <= 4096 fits in 12 low bits.
-            key = jnp.where(used > 0, jnp.full_like(rows, -1),
-                            (bits & ~jnp.int32(4095))
-                            | (jnp.int32(4095) - rows))
-            kmax = jnp.max(key)
-            p = jnp.int32(4095) - (kmax & jnp.int32(4095))
+            bits = lax.bitcast_convert_type(
+                jnp.abs(col).astype(jnp.float32), jnp.int32)
+            # m <= 16384 fits in 14 low bits.
+            key = jnp.where(used > 0, jnp.full_like(lane_m, -1),
+                            (bits & ~jnp.int32(16383))
+                            | (jnp.int32(16383) - lane_m))
+            p = jnp.int32(16383) - (jnp.max(key) & jnp.int32(16383))
         else:
             p = kb + r
-        used = jnp.where(rows == p, jnp.ones_like(used), used)
+        used = jnp.where(lane_m == p, jnp.ones_like(used), used)
         pivrows_ref[:, :] = jnp.where(rows_b == r, p, pivrows_ref[:, :])
 
-        row_p = jnp.sum(jnp.where(sub_b == p, wv, jnp.zeros_like(wv)),
-                        axis=0, keepdims=True)  # (1, b)
-        piv = jnp.sum(jnp.where(lane_row == r, row_p,
-                                jnp.zeros_like(row_p))).astype(jnp.float32)
+        # Pivot row of the strip = lane p of the transposed working set.
+        pivcol = jnp.sum(jnp.where(lane_m == p, wv, jnp.zeros_like(wv)),
+                         axis=1, keepdims=True)  # (b, 1)
+        piv = jnp.sum(jnp.where(rows_b == r, pivcol,
+                                jnp.zeros_like(pivcol))).astype(jnp.float32)
         piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv).astype(dt)
-        norm = row_p / piv_safe
-        factors = jnp.where(rows == p, jnp.zeros_like(col), col)
-        new_w = jnp.where(sub_b == p, norm, wv - factors * norm)
+        norm = pivcol / piv_safe                          # (b, 1)
+        factors = jnp.where(lane_m == p, jnp.zeros_like(col), col)  # (1, m)
+        new_w = jnp.where(lane_m == p, jnp.broadcast_to(norm, (b, m)),
+                          wv - norm * factors)
         w[:, :] = new_w
-        col_next = jnp.sum(jnp.where(lane_b == r + 1, new_w,
+        col_next = jnp.sum(jnp.where(rows_b == r + 1, new_w,
                                      jnp.zeros_like(new_w)),
-                           axis=1, keepdims=True)
+                           axis=0, keepdims=True)  # (1, m)
         return used, col_next
 
-    col0 = jnp.sum(jnp.where(lane_b == 0, w[:, :],
-                             jnp.zeros((m, b), dt)),
-                   axis=1, keepdims=True)
+    col0 = jnp.sum(jnp.where(rows_b == 0, w[:, :], jnp.zeros((b, m), dt)),
+                   axis=0, keepdims=True)
     lax.fori_loop(jnp.int32(0), jnp.int32(b), step, (used0, col0))
 
 
@@ -144,13 +142,15 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
                   m: int, b: int, pivot: bool, interpret: bool):
     """Run the pivot-search kernel; returns pivrows (b,) int32.
 
-    ``used`` (m, 1) travels as a dense (m, 128) broadcast tile (see the
-    kernel docstring); the caller updates the mask itself by scattering the
-    returned pivot rows.
+    ``strip`` is (m, b) and gets transposed on the way in (one cheap XLA
+    pass); ``used`` (m, 1) travels as a dense (8, m) broadcast tile
+    (odd-shaped side inputs DMA-crash the TPU runtime). The caller updates
+    the mask itself by scattering the returned pivot rows.
     """
     kernel = functools.partial(_pivot_search_kernel, m=m, b=b, pivot=pivot)
     kb_arr = jnp.reshape(kb.astype(jnp.int32), (1, 1))
-    used_tile = jnp.broadcast_to(used.astype(strip.dtype), (m, 128))
+    used_tile = jnp.broadcast_to(
+        jnp.swapaxes(used.astype(strip.dtype), -1, -2), (8, m))
     pivrows = pl.pallas_call(
         kernel,
         in_specs=[
@@ -160,9 +160,9 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((m, b), strip.dtype)],
+        scratch_shapes=[pltpu.VMEM((b, m), strip.dtype)],
         interpret=interpret,
-    )(kb_arr, strip, used_tile)
+    )(kb_arr, jnp.swapaxes(strip, -1, -2), used_tile)
     return pivrows[:, 0]
 
 
@@ -419,16 +419,15 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
         # is one physical (m, 128) tile regardless of narrower widths, wider
         # panels scale traffic linearly with no benefit, and b > 128 at some
         # m trips a Mosaic runtime bug (hangs the chip at m=1024, b=256).
+        # Lane-major search kernel: length-m vectors live as (1, m) rows,
+        # so VMEM scales with b*m (the transposed strip), not m*128 pads.
         b = min(b, 128)
         m = max(_round_up(n, b), b)
-        # Mosaic lane-pads every (m, 1) kernel intermediate to (m, 128) on
-        # the scoped VMEM stack, so the search kernel's footprint is ~5 such
-        # pads + the (m, b) buffers: m = 4096 fits in 16 MB, m = 8192 wants
-        # 22 MB. Beyond 4096 fall back to the jnp panel loop.
-        # TODO: store the kernel's column vectors lane-major ((1, m)) to
-        # lift this cap.
-        if m > 4096:
-            use_pallas = False
+        if m > 8192:
+            b = min(b, 64)
+            m = max(_round_up(n, b), b)
+        if m > 16384:
+            use_pallas = False  # jnp panel fallback beyond 16k
     if use_pallas:
         interpret = not tpu_available()
         # Trace/compile in 32-bit land: Mosaic cannot legalize the i64 index
