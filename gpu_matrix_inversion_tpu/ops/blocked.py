@@ -385,7 +385,7 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
                     block_size: int = DEFAULT_BLOCK_SIZE,
                     precision: str = "highest",
                     search_bf16: bool = True,
-                    group_size: int = 4,
+                    group_size: int | None = None,
                     refine: int = 1):
     """Blocked Gauss-Jordan inverse; ``(..., n, n) -> (inverse, ok)``.
 
@@ -399,16 +399,19 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
       search_bf16: run the pivot *search* in bfloat16 (half the VMEM
         traffic; only the pivot choice depends on it, all arithmetic stays
         fp32).
-      group_size: panels per composite trailing update (Pallas path).
-        Larger = fewer full-matrix passes (faster at large N) but a
-        somewhat larger residual (~1.8e-5 vs 5e-6 at 4096 for 4 vs 1);
-        set 1 for per-panel updates, or add refine_iters via the Inverter.
+      group_size: panels per composite trailing update. Larger = fewer
+        full-matrix passes (16384^2 goes 11.2 -> 14.3 TFLOP/s from group 4
+        to 16) but a somewhat larger raw residual, which the default Newton
+        polish recovers. Default: composite rank ~1024 (8 panels at b=128,
+        16 at b=64); set 1 for per-panel updates.
       refine: Newton-Schulz polish steps applied to the result (default 1:
         +12% time at 4096 for residual 7e-8 instead of 1.8e-5; 0 disables).
     """
     a = jnp.asarray(a)
     if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
         raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
+    if group_size is None:
+        group_size = max(4, 1024 // min(block_size, 128))
     if precision not in _PRECISIONS:
         raise ValueError(f"precision must be one of {set(_PRECISIONS)}")
     n = a.shape[-1]
