@@ -51,9 +51,6 @@ from gpu_matrix_inversion_tpu.ops.gauss_jordan import _gauss_jordan_aug, _i0
 from gpu_matrix_inversion_tpu.ops.fused import gj_eliminate, tpu_available
 
 DEFAULT_BLOCK_SIZE = 256
-# VMEM budget for the pivot-search kernel: strip input + working copy,
-# with ~2x headroom for pallas' input/output double buffering.
-_PANEL_VMEM_BYTES = 14 * 1024 * 1024
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
