@@ -165,10 +165,14 @@ def matrix_multiply(inverse_flat, a_flat, order: int) -> float:
     if inv is None or a is None:
         return float("nan")
     # The reference's verification GEMM runs in double (simpleMultiply,
-    # matrix_multiply.cpp:17-36); honor fp64 inputs when x64 is available.
-    dt = (jnp.float64 if (np.asarray(inv).dtype == np.float64
-                          and jax.config.jax_enable_x64) else jnp.float32)
-    prod = jnp.matmul(jnp.asarray(inv, dt), jnp.asarray(a, dt),
-                      preferred_element_type=dt,
-                      precision=jax.lax.Precision.HIGHEST)
-    return reference_error_metric(np.eye(order), np.asarray(prod))
+    # matrix_multiply.cpp:17-36); auto-enable x64 for fp64 inputs like the
+    # fp64 inversion paths do (ADVICE r1).
+    dtype = (np.float64 if np.asarray(inv).dtype == np.float64
+             else np.float32)
+    with _x64_scope(dtype):
+        dt = jnp.dtype(dtype)
+        prod = jnp.matmul(jnp.asarray(inv, dt), jnp.asarray(a, dt),
+                          preferred_element_type=dt,
+                          precision=jax.lax.Precision.HIGHEST)
+        prod = np.asarray(prod)
+    return reference_error_metric(np.eye(order), prod)

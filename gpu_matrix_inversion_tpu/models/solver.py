@@ -97,7 +97,9 @@ def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
     return gauss_jordan_inverse(a, pivot=pivot)
 
 
-def solve(a: jax.Array, b: jax.Array, *, method: str = "auto") -> Tuple[jax.Array, jax.Array]:
+def solve(a: jax.Array, b: jax.Array, *, method: str = "auto",
+          pivot: bool = True, block_size: int | None = None,
+          mesh=None) -> Tuple[jax.Array, jax.Array]:
     """Solve ``A @ x = b``; returns ``(x, ok)``.
 
     For the LU method this uses forward/back substitution; other methods form
@@ -111,12 +113,14 @@ def solve(a: jax.Array, b: jax.Array, *, method: str = "auto") -> Tuple[jax.Arra
         if a.shape[-1] >= 256:
             from gpu_matrix_inversion_tpu.ops.lu import (
                 lu_factor_blocked, lu_solve_fast)
-            lu, perm, ok_f = lu_factor_blocked(a)
+            kwargs = {} if block_size is None else {"block_size": block_size}
+            lu, perm, ok_f = lu_factor_blocked(a, pivot=pivot, **kwargs)
             x, ok_s = lu_solve_fast(lu, perm, b)
             return x, jnp.logical_and(ok_f, ok_s)
         from gpu_matrix_inversion_tpu.ops.lu import lu_solve_matrix
-        return lu_solve_matrix(a, b)
-    inv, ok = inverse(a, method=method)
+        return lu_solve_matrix(a, b, pivot=pivot)
+    inv, ok = inverse(a, method=method, pivot=pivot, block_size=block_size,
+                      mesh=mesh)
     x = jnp.matmul(inv, b, preferred_element_type=inv.dtype,
                     precision=jax.lax.Precision.HIGHEST)
     return x, ok
@@ -159,6 +163,24 @@ class Inverter:
         return x, ok
 
     def solve(self, a, b):
+        # Thread the full session config through (ADVICE r1: solve used to
+        # forward only method, silently dropping pivot/block_size/mesh).
         cfg = self.config
-        return solve(self._cast(a), jnp.asarray(b, self._cast(a).dtype),
-                     method=cfg.method)
+        a = self._cast(a)
+        x, ok = solve(a, jnp.asarray(b, a.dtype), method=cfg.method,
+                      pivot=cfg.pivot, block_size=cfg.block_size,
+                      mesh=self.mesh)
+        if cfg.refine_iters > 0:
+            from gpu_matrix_inversion_tpu.ops.refine import (
+                iterative_refine_solve)
+            b = jnp.asarray(b, a.dtype)
+
+            def resolve(aa, rr):
+                return solve(aa, rr, method=cfg.method, pivot=cfg.pivot,
+                             block_size=cfg.block_size, mesh=self.mesh)
+
+            x = iterative_refine_solve(a, b, x, resolve,
+                                       iters=cfg.refine_iters)
+            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(x),
+                                             axis=(-2, -1)))
+        return x, ok

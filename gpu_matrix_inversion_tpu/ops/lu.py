@@ -147,10 +147,10 @@ def lu_inverse(a: jax.Array):
     return inv, jnp.logical_and(ok_f, ok_s)
 
 
-@jax.jit
-def lu_solve_matrix(a: jax.Array, b: jax.Array):
+@functools.partial(jax.jit, static_argnames=("pivot",))
+def lu_solve_matrix(a: jax.Array, b: jax.Array, *, pivot: bool = True):
     """One-shot solve A x = b; returns ``(x, ok)``."""
-    lu, perm, ok_f = lu_factor(a)
+    lu, perm, ok_f = lu_factor(a, pivot=pivot)
     x, ok_s = lu_solve(lu, perm, b)
     return x, jnp.logical_and(ok_f, ok_s)
 
@@ -290,7 +290,9 @@ def lu_solve_fast(lu: jax.Array, perm: jax.Array, b: jax.Array):
            > jax.lax.broadcasted_iota(jnp.int32, (n, n), 1))
     lmat = jnp.where(tri, lu, jnp.zeros_like(lu)) + jnp.eye(n, dtype=lu.dtype)
     umat = jnp.where(tri, jnp.zeros_like(lu), lu)
-    y = jnp.take(b, perm, axis=-2)
+    # take_along_axis (not take) so a batched perm gathers per-batch rows
+    # instead of flattening (ADVICE r1: batched (B, n, n) inputs).
+    y = jnp.take_along_axis(b, perm[..., None], axis=-2)
     y = lax.linalg.triangular_solve(lmat, y, left_side=True, lower=True,
                                     unit_diagonal=True)
     x = lax.linalg.triangular_solve(umat, y, left_side=True, lower=False)

@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import _gauss_jordan_aug, _i0
 from gpu_matrix_inversion_tpu.ops.blocked import (_panel_pivots_logical,
@@ -146,7 +146,10 @@ def sharded_blocked_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
         ok = jnp.logical_and(jnp.all(ok), jnp.all(jnp.isfinite(inv)))
         return inv, ok
 
-    return run(jnp.asarray(a))
+    # Commit the input to the mesh's own devices (replicated) so nothing
+    # ever lands on the process default device — which under the axon TPU
+    # tunnel may be a different platform than the mesh (CLAUDE.md hazard #1).
+    return run(jax.device_put(a, NamedSharding(mesh, P())))
 
 
 def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
@@ -187,4 +190,6 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
                              jnp.all(jnp.isfinite(inv), axis=(-2, -1)))
         return inv, ok
 
-    return run(jnp.asarray(a))
+    # See sharded_blocked_inverse: commit to the mesh devices, batch-sharded
+    # over dp so each dp group only materializes its own slice.
+    return run(jax.device_put(a, NamedSharding(mesh, P(dp_axis))))

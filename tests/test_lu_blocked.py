@@ -47,3 +47,22 @@ def test_blocked_lu_singular_flagged():
     a = np.ones((128, 128), dtype=np.float32)
     _, ok = lu_inverse_fast(a)
     assert not bool(ok)
+
+
+def test_fast_path_batched():
+    """ADVICE r1 (medium): lu_solve_fast/lu_inverse_fast must batch —
+    jnp.take on a batched perm used to flat-gather and TypeError."""
+    rng = np.random.default_rng(7)
+    n, bsz = 64, 3
+    a = np.stack([hollow_random_matrix(n, seed=200 + i, dtype=np.float64)
+                  for i in range(bsz)])
+    b = rng.standard_normal((bsz, n, 2)).astype(np.float64)
+    lu, perm, ok = lu_factor_blocked(a, block_size=16)
+    x, ok2 = lu_solve_fast(lu, perm, b)
+    assert bool(np.all(np.asarray(ok))) and bool(np.all(np.asarray(ok2)))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b),
+                               rtol=1e-7, atol=1e-8)
+    inv, ok3 = lu_inverse_fast(a)
+    assert bool(np.all(np.asarray(ok3)))
+    np.testing.assert_allclose(np.asarray(inv), np.linalg.inv(a),
+                               rtol=1e-6, atol=1e-6)

@@ -36,3 +36,23 @@ def test_solve():
 def test_bad_method_rejected():
     with pytest.raises(ValueError):
         inverse(np.eye(4, dtype=np.float32), method="nope")
+
+
+def test_inverter_solve_threads_config():
+    """ADVICE r1 (low): Inverter.solve must honor pivot/block_size/refine."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.models.solver import Inverter
+    from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+
+    n = 96
+    a = hollow_random_matrix(n, seed=300, dtype=np.float64)
+    # Make the diagonal dominant so pivot=False actually succeeds, proving
+    # the flag reached the factorization.
+    a = a + np.eye(n) * 1000.0
+    b = np.random.default_rng(1).standard_normal((n, 2))
+    inv = Inverter(dtype="float64", method="lu", pivot=False, block_size=32,
+                   refine_iters=1)
+    x, ok = inv.solve(a, b)
+    assert bool(np.all(np.asarray(ok)))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b),
+                               rtol=1e-8, atol=1e-9)
