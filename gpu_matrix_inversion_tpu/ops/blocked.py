@@ -253,7 +253,19 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
         apad = jnp.eye(m, dtype=dtype)
         apad = lax.dynamic_update_slice(apad, a, (0, 0))
         a = apad
-    aug = jnp.concatenate([a, jnp.eye(m, dtype=dtype)], axis=-1)  # (m, 2m)
+    # Slot layout: left half is the A working set; the right half holds the
+    # composite-transform columns in PIVOT ORDER (slot t = the column that
+    # tracks the t-th pivot row), not in standard column positions. Slots
+    # start at zero and are deposited as each group finishes, so at group
+    # kk the live columns are exactly [kb0+gw, m+kb0): the not-yet-
+    # eliminated left columns plus the already-deposited slots -- one
+    # CONTIGUOUS window of constant width m-gw. Finished left columns are
+    # frozen (they equal e_{pivot row}; later pivot rows carry zeros there)
+    # and future slots are still zero, so the trailing update touches HALF
+    # the columns the classic [A | I] layout would (2m^3 instead of 4m^3
+    # MACs for the full inversion). One column gather at the very end maps
+    # slots back to standard positions, mirroring the row gather.
+    aug = jnp.concatenate([a, jnp.zeros((m, m), dtype=dtype)], axis=-1)
 
     rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     num_panels = m // b
@@ -319,26 +331,38 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
             # update (prior transforms act as identity on them).
             og = og.at[:, gw + ib:gw + ib + b].set(psel)
 
-            block_rows = jnp.take(og, pivrows, axis=0)  # (b, 2gw)
+            # Windowed internal update: O columns before this panel are
+            # finished (frozen, same argument as the outer window) and G
+            # probes beyond this panel are still zero, so the live columns
+            # are exactly og[:, ib : gw+ib+b] -- a static slice here since
+            # the group loop is unrolled.
+            og_win = og[:, ib:gw + ib + b]                    # (m, gw+b)
+            block_rows = jnp.take(og_win, pivrows, axis=0)    # (b, gw+b)
             s = jnp.matmul(dinv, block_rows,
                            preferred_element_type=dtype,
                            precision=precision)
             l_masked = strip * (1 - rowmask)
             l3 = jnp.concatenate([l_masked - psel, psel], axis=1)
             s3 = jnp.concatenate([s, block_rows], axis=0)
-            og = og - jnp.matmul(l3, s3, preferred_element_type=dtype,
-                                 precision=precision)
+            og = og.at[:, ib:gw + ib + b].set(
+                og_win - jnp.matmul(l3, s3, preferred_element_type=dtype,
+                                    precision=precision))
 
-        # Composite transform: C = G_final - E^T; apply to the whole matrix
-        # in one rank-gw GEMM, then overwrite the group's own columns with
-        # the already-finished O (the GEMM double-applies there, harmlessly,
-        # before the overwrite).
+        # Composite transform: C = G_final - E^T, applied to the live
+        # window [kb0+gw, m+kb0) in one rank-gw GEMM. The group's own left
+        # columns get the finished O; its slots [m+kb0, m+kb0+gw) get G
+        # (whose columns are exactly e_{pivot} + C, i.e. the deposited
+        # transform the classic layout would scatter to columns m+pivtot).
         etot = (rows == pivtot[None, :]).astype(dtype)       # (m, gw)
         c = og[:, gw:] - etot
-        aug = aug + jnp.matmul(c, jnp.take(aug, pivtot, axis=0),
+        win = lax.dynamic_slice(aug, (_i0, kb0 + gw), (m, m - gw))
+        win = win + jnp.matmul(c, jnp.take(win, pivtot, axis=0),
                                preferred_element_type=dtype,
                                precision=precision)
+        aug = lax.dynamic_update_slice(aug, win, (_i0, kb0 + gw))
         aug = lax.dynamic_update_slice(aug, og[:, :gw], (_i0, kb0))
+        aug = lax.dynamic_update_slice(aug, og[:, gw:],
+                                       (_i0, np.int32(m) + kb0))
         return aug, used, pos, ok
 
     used0 = jnp.zeros((m, 1), jnp.float32)
@@ -346,10 +370,14 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     aug, _, pos, ok = lax.fori_loop(
         0, num_panels // group, group_step,
         (aug, used0, pos0, jnp.bool_(True)))
-    # Undo the logical permutation once: inverse row g lives at physical
-    # row pos[g].
-    right = lax.dynamic_slice(aug, (_i0, np.int32(m)), (m, m))
-    inv = jnp.take(right, pos, axis=0)[:n, :n]
+    # Undo the logical permutation once. Slot t of the right half is the
+    # inverse column pos[t] (and inverse row g lives at physical row
+    # pos[g]), so gather columns by the inverse permutation of pos, then
+    # rows by pos -- two gathers replacing the classic layout's one.
+    slots = lax.dynamic_slice(aug, (_i0, np.int32(m)), (m, m))
+    invpos = jnp.zeros((m,), jnp.int32).at[pos].set(
+        lax.broadcasted_iota(jnp.int32, (m,), 0))
+    inv = jnp.take(jnp.take(slots, invpos, axis=1), pos, axis=0)[:n, :n]
     ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(inv)))
     return inv, ok
 
