@@ -68,7 +68,8 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------
 
 def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
-                         w, *, m: int, b: int, pivot: bool):
+                         w, probe, psel, *, m: int, b: int, sub: int,
+                         pivot: bool):
     """Swap-free pivot search on the VMEM-resident TRANSPOSED (b, m) strip.
 
     Runs b Gauss-Jordan steps tracking a used-row mask instead of swapping
@@ -84,55 +85,103 @@ def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
     capped the old row-major kernel at m = 4096; lane-major vectors pad to
     (8, m) instead (16x smaller) and lane reductions are faster than sublane
     ones. Iotas are kept to (1, m)/(b, 1) shapes for the same reason.
+
+    Sub-blocked elimination: the per-step rank-1 update is confined to the
+    current ``sub``-row sub-panel plus a (sub, m) transform probe (the
+    in-kernel version of the group-level G-probe trick: after the
+    sub-panel, probe - psel is exactly C^T of T X = X + C X[pivrows]).
+    Later rows then get ONE deferred rank-``sub`` MXU update per sub-panel,
+    and rows of finished sub-panels are never touched again (their values
+    are never read for pivot selection). Per-step VPU work drops from
+    (b, m) to (2*sub, m), which is what made the flat kernel the blocked
+    path's second-largest cost after the trailing GEMMs.
     """
     dt = w.dtype
     kb = kb_ref[0, 0]
     lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)   # strip-row ids
     rows_b = lax.broadcasted_iota(jnp.int32, (b, 1), 0)   # panel-column ids
+    rows_s = lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
 
     w[:, :] = stripT_ref[:, :]
-    used0 = jnp.max(used_ref[:, :].astype(jnp.float32), axis=0,
-                    keepdims=True)  # (1, m)
+    used = jnp.max(used_ref[:, :].astype(jnp.float32), axis=0,
+                   keepdims=True)  # (1, m)
     pivrows_ref[:, :] = jnp.zeros((b, 1), jnp.int32)
+    col = w[0:1, :]
 
-    def step(r, carry):
-        # col (1, m) carried from the previous update pass (saves one
-        # traversal); pivot chosen by a single packed-key max (|value| bits
-        # + reversed row index for first-match ties) -- see ops/fused.py.
-        used, col = carry
-        wv = w[:, :]
-        if pivot:
-            bits = lax.bitcast_convert_type(
-                jnp.abs(col).astype(jnp.float32), jnp.int32)
-            # m <= 16384 fits in 14 low bits.
-            key = jnp.where(used > 0, jnp.full_like(lane_m, -1),
-                            (bits & ~jnp.int32(16383))
-                            | (jnp.int32(16383) - lane_m))
-            p = jnp.int32(16383) - (jnp.max(key) & jnp.int32(16383))
-        else:
-            p = kb + r
-        used = jnp.where(lane_m == p, jnp.ones_like(used), used)
-        pivrows_ref[:, :] = jnp.where(rows_b == r, p, pivrows_ref[:, :])
+    for s in range(b // sub):  # static unroll; all slices static
+        r0 = s * sub
+        probe[:, :] = jnp.zeros((sub, m), dt)
+        psel[:, :] = jnp.zeros((sub, m), dt)
 
-        # Pivot row of the strip = lane p of the transposed working set.
-        pivcol = jnp.sum(jnp.where(lane_m == p, wv, jnp.zeros_like(wv)),
-                         axis=1, keepdims=True)  # (b, 1)
-        piv = jnp.sum(jnp.where(rows_b == r, pivcol,
-                                jnp.zeros_like(pivcol))).astype(jnp.float32)
-        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv).astype(dt)
-        norm = pivcol / piv_safe                          # (b, 1)
-        factors = jnp.where(lane_m == p, jnp.zeros_like(col), col)  # (1, m)
-        new_w = jnp.where(lane_m == p, jnp.broadcast_to(norm, (b, m)),
-                          wv - norm * factors)
-        w[:, :] = new_w
-        col_next = jnp.sum(jnp.where(rows_b == r + 1, new_w,
-                                     jnp.zeros_like(new_w)),
-                           axis=0, keepdims=True)  # (1, m)
-        return used, col_next
+        def step(r2, carry, r0=r0):
+            # col (1, m) carried from the previous update pass (saves one
+            # traversal); pivot chosen by a single packed-key max (|value|
+            # bits + reversed row index for first-match ties) -- ops/fused.
+            used, col = carry
+            ws = w[r0:r0 + sub, :]
+            if pivot:
+                bits = lax.bitcast_convert_type(
+                    jnp.abs(col).astype(jnp.float32), jnp.int32)
+                # m <= 16384 fits in 14 low bits.
+                key = jnp.where(used > 0, jnp.full_like(lane_m, -1),
+                                (bits & ~jnp.int32(16383))
+                                | (jnp.int32(16383) - lane_m))
+                p = jnp.int32(16383) - (jnp.max(key) & jnp.int32(16383))
+            else:
+                p = kb + r0 + r2
+            used = jnp.where(lane_m == p, jnp.ones_like(used), used)
+            pivrows_ref[:, :] = jnp.where(rows_b == r0 + r2, p,
+                                          pivrows_ref[:, :])
 
-    col0 = jnp.sum(jnp.where(rows_b == 0, w[:, :], jnp.zeros((b, m), dt)),
-                   axis=0, keepdims=True)
-    lax.fori_loop(jnp.int32(0), jnp.int32(b), step, (used0, col0))
+            # Inject the probe's identity one BEFORE this step's
+            # elimination (late injection is sound: prior sub-panel steps
+            # act as identity on a fresh e_p column). Built as a product of
+            # 1-D masks: a broadcast 2D bool `and` trips a Mosaic relayout
+            # bug ("non-singleton logical dimension is replicated").
+            onehot = ((rows_s == r2).astype(dt) * (lane_m == p).astype(dt))
+            pr = probe[:, :] + onehot
+            psel[:, :] = psel[:, :] + onehot
+
+            lane_p = (lane_m == p)
+            pivcol_w = jnp.sum(jnp.where(lane_p, ws, jnp.zeros_like(ws)),
+                               axis=1, keepdims=True)    # (sub, 1)
+            pivcol_pr = jnp.sum(jnp.where(lane_p, pr, jnp.zeros_like(pr)),
+                                axis=1, keepdims=True)   # (sub, 1)
+            piv = jnp.sum(jnp.where(rows_s == r2, pivcol_w,
+                                    jnp.zeros_like(pivcol_w))
+                          ).astype(jnp.float32)
+            piv_safe = jnp.where(piv == 0, jnp.ones_like(piv),
+                                 piv).astype(dt)
+            norm_w = pivcol_w / piv_safe
+            norm_pr = pivcol_pr / piv_safe
+            factors = jnp.where(lane_p, jnp.zeros_like(col), col)  # (1, m)
+            new_ws = jnp.where(lane_p, jnp.broadcast_to(norm_w, (sub, m)),
+                               ws - norm_w * factors)
+            w[r0:r0 + sub, :] = new_ws
+            probe[:, :] = jnp.where(
+                lane_p, jnp.broadcast_to(norm_pr, (sub, m)),
+                pr - norm_pr * factors)
+            col_next = jnp.sum(jnp.where(rows_s == r2 + 1, new_ws,
+                                         jnp.zeros_like(new_ws)),
+                               axis=0, keepdims=True)  # (1, m)
+            return used, col_next
+
+        used, col = lax.fori_loop(jnp.int32(0), jnp.int32(sub), step,
+                                  (used, col))
+
+        if r0 + sub < b:
+            # Deferred composite update of the later rows: (X^T)_new =
+            # X^T + X^T[:, pivlanes] @ C^T with C^T = probe - psel, both
+            # (sub, m); two MXU dots replace sub rank-1 passes per row.
+            wl = w[r0 + sub:, :]                           # (bl, m)
+            g = lax.dot_general(wl, psel[:, :], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            ct = probe[:, :] - psel[:, :]
+            upd = lax.dot_general(g.astype(dt), ct, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            new_wl = wl + upd.astype(dt)
+            w[r0 + sub:, :] = new_wl
+            col = new_wl[0:1, :]
 
 
 def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
@@ -144,7 +193,9 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
     (odd-shaped side inputs DMA-crash the TPU runtime). The caller updates
     the mask itself by scattering the returned pivot rows.
     """
-    kernel = functools.partial(_pivot_search_kernel, m=m, b=b, pivot=pivot)
+    sub = min(32, b)
+    kernel = functools.partial(_pivot_search_kernel, m=m, b=b, sub=sub,
+                               pivot=pivot)
     kb_arr = jnp.reshape(kb.astype(jnp.int32), (1, 1))
     used_tile = jnp.broadcast_to(
         jnp.swapaxes(used.astype(strip.dtype), -1, -2), (8, m))
@@ -157,7 +208,9 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((b, m), strip.dtype)],
+        scratch_shapes=[pltpu.VMEM((b, m), strip.dtype),
+                        pltpu.VMEM((sub, m), strip.dtype),
+                        pltpu.VMEM((sub, m), strip.dtype)],
         interpret=interpret,
     )(kb_arr, jnp.swapaxes(strip, -1, -2), used_tile)
     return pivrows[:, 0]
