@@ -69,7 +69,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
                          w, probe, psel, *, m: int, b: int, sub: int,
-                         pivot: bool):
+                         kmask: int, pivot: bool):
     """Swap-free pivot search on the VMEM-resident TRANSPOSED (b, m) strip.
 
     Runs b Gauss-Jordan steps tracking a used-row mask instead of swapping
@@ -122,11 +122,13 @@ def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
             if pivot:
                 bits = lax.bitcast_convert_type(
                     jnp.abs(col).astype(jnp.float32), jnp.int32)
-                # m <= 16384 fits in 14 low bits.
+                # kmask = next_pow2(m)-1: the low index bits replace that
+                # many |value| mantissa bits (14 at m=16384; pivot choice
+                # is robust to far coarser -- bf16 search was acceptable).
                 key = jnp.where(used > 0, jnp.full_like(lane_m, -1),
-                                (bits & ~jnp.int32(16383))
-                                | (jnp.int32(16383) - lane_m))
-                p = jnp.int32(16383) - (jnp.max(key) & jnp.int32(16383))
+                                (bits & ~jnp.int32(kmask))
+                                | (jnp.int32(kmask) - lane_m))
+                p = jnp.int32(kmask) - (jnp.max(key) & jnp.int32(kmask))
             else:
                 p = kb + r0 + r2
             used = jnp.where(lane_m == p, jnp.ones_like(used), used)
@@ -193,9 +195,14 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
     (odd-shaped side inputs DMA-crash the TPU runtime). The caller updates
     the mask itself by scattering the returned pivot rows.
     """
-    sub = min(32, b)
+    # sub=16 measured fastest at 4096 (sub=32: 17.3 ms, sub=16: 16.6 ms
+    # amortized; the deferred dots' K=16 contraction is still fine on MXU).
+    sub = min(16, b)
+    kmask = 1
+    while kmask < m:
+        kmask = 2 * kmask
     kernel = functools.partial(_pivot_search_kernel, m=m, b=b, sub=sub,
-                               pivot=pivot)
+                               kmask=kmask - 1, pivot=pivot)
     kb_arr = jnp.reshape(kb.astype(jnp.int32), (1, 1))
     used_tile = jnp.broadcast_to(
         jnp.swapaxes(used.astype(strip.dtype), -1, -2), (8, m))
@@ -462,7 +469,7 @@ def _blocked_inverse_jit(a: jax.Array, *, pivot: bool, block_size: int,
 def blocked_inverse(a: jax.Array, *, pivot: bool = True,
                     block_size: int = DEFAULT_BLOCK_SIZE,
                     precision: str = "highest",
-                    search_bf16: bool = True,
+                    search_bf16: bool = False,
                     group_size: int | None = None,
                     refine: int = 1):
     """Blocked Gauss-Jordan inverse; ``(..., n, n) -> (inverse, ok)``.
@@ -474,9 +481,11 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
       precision: MXU precision for the rank-b trailing updates -- one of
         ``"default"`` (bf16 passes), ``"high"`` (bf16x3), ``"highest"``
         (full fp32, ~2x slower than high).
-      search_bf16: run the pivot *search* in bfloat16 (half the VMEM
-        traffic; only the pivot choice depends on it, all arithmetic stays
-        fp32).
+      search_bf16: run the pivot *search* in bfloat16 (only the pivot
+        choice depends on it, all arithmetic stays fp32). Off by default:
+        with the sub-blocked kernel the fp32 search is both faster
+        (no per-step bf16<->f32 conversions) and a more exact partial-
+        pivoting oracle.
       group_size: panels per composite trailing update. Larger = fewer
         full-matrix passes (16384^2 goes 11.2 -> 14.3 TFLOP/s from group 4
         to 16) but a somewhat larger raw residual, which the default Newton
@@ -496,19 +505,28 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
     b = min(block_size, max(_round_up(n, 8), 8))
     use_pallas = a.dtype in (jnp.float32, jnp.bfloat16)
     if use_pallas:
-        # b = 128 for the Pallas path: the search kernel's per-step traffic
-        # is one physical (m, 128) tile regardless of narrower widths, wider
-        # panels scale traffic linearly with no benefit, and b > 128 at some
-        # m trips a Mosaic runtime bug (hangs the chip at m=1024, b=256).
-        # Lane-major search kernel: length-m vectors live as (1, m) rows,
-        # so VMEM scales with b*m (the transposed strip), not m*128 pads.
+        # b = 128 for the Pallas path: wider panels scale search traffic
+        # linearly with no benefit, and b > 128 at some m trips a Mosaic
+        # runtime bug (hangs the chip at m=1024, b=256). Beyond that the
+        # gates are VMEM budget for the search kernel's (b, m) working set
+        # + (b, m) input + (8, m) mask + 2x (16, m) probes: fp32 fits
+        # b=128 to m=8192 and b=64 to m=16384; past that the search data
+        # drops to bf16 (pivot choice only) and b=32 carries to m=65536.
         b = min(b, 128)
         m = max(_round_up(n, b), b)
         if m > 8192:
             b = min(b, 64)
             m = max(_round_up(n, b), b)
         if m > 16384:
-            use_pallas = False  # jnp panel fallback beyond 16k
+            search_bf16 = True
+            b = min(b, 32)
+            m = max(_round_up(n, b), b)
+        if m > 65536:
+            import warnings
+            warnings.warn(
+                f"n={n} exceeds the Pallas pivot-search reach (m<=65536); "
+                "falling back to the pure-jnp panel loop", stacklevel=2)
+            use_pallas = False
     if use_pallas:
         interpret = not tpu_available()
         # Trace/compile in 32-bit land: Mosaic cannot legalize the i64 index
