@@ -6,9 +6,19 @@ single-core NumPy/LAPACK ``np.linalg.inv`` measured live on this host
 (target >= 5x, BASELINE.md). Extra fields report the 4096^2 blocked-path
 GFLOP/s (4*N^3 fixColumn flop model, matrix_inversion_FP64.cpp:753-755).
 
-Timing protocol: computations are jitted to a scalar probe so device sync
-costs 4 bytes of readback -- on tunneled TPU setups, reading back a full
-matrix measures the network, not the chip.
+Timing protocol (two layers of tunnel-proofing):
+- computations are jitted to a scalar probe so device sync costs 4 bytes
+  of readback (full-array readback measures the network, not the chip);
+- the per-call dispatch floor through the tunnel is ~26 ms, so per-op
+  times are AMORTIZED: run K ops inside one jitted lax.scan (each
+  iteration perturbs the input so nothing hoists) and difference K=1 vs
+  K=5 runs. Single-shot wall-clock times are reported alongside
+  (`*_ms_single_call`) for transparency.
+
+Residual gates: the raw blocked path must meet the BASELINE <=1e-4
+relative-residual gate on its own; the reported gflops come from the raw
+(refine=0) time. The refined (default) path's time and residual are
+reported separately.
 """
 
 from __future__ import annotations
@@ -19,23 +29,36 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+
+def _sync(out) -> float:
+    return float(np.asarray(out))
 
 
 def _bench(fn, *args, reps: int = 3) -> float:
-    out = fn(*args)
-    float(np.asarray(out))  # warm-up + sync
+    _sync(fn(*args))  # warm-up (compile)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        float(np.asarray(out))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     return min(times)
+
+
+def _amortized(make_fn, a, k1: int = 1, k2: int = 5, reps: int = 2) -> tuple:
+    """Per-op seconds net of the tunnel dispatch floor, plus the
+    single-call wall-clock: run k ops inside one jitted scan and
+    difference the k1 and k2 timings."""
+    t1 = _bench(make_fn(k1), a, reps=reps)
+    t2 = _bench(make_fn(k2), a, reps=reps)
+    return (t2 - t1) / (k2 - k1), t1
 
 
 def main() -> None:
     from gpu_matrix_inversion_tpu.ops.fused import fused_inverse
     from gpu_matrix_inversion_tpu.ops.blocked import blocked_inverse
+    from gpu_matrix_inversion_tpu.ops.lu import lu_inverse_fast
     from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
     from gpu_matrix_inversion_tpu.utils.residual import relative_residual
 
@@ -61,34 +84,44 @@ def main() -> None:
     t_np = (time.perf_counter() - t0) / n_np
     np_inv_per_s = 1.0 / t_np
 
-    # --- secondary: 4096^2 blocked Gauss-Jordan (configs[1]) --------------
+    # --- 4096^2 blocked Gauss-Jordan (configs[1]) --------------------------
     n_big = 4096
     a_big = jnp.asarray(hollow_random_matrix(n_big, seed=1))
 
-    @jax.jit
-    def probe_blocked(a):
-        inv, ok = blocked_inverse(a, block_size=256)
-        return jnp.sum(inv) + ok.astype(jnp.float32)
+    def make_blocked(k, refine):
+        @jax.jit
+        def p(a):
+            def body(c, _):
+                inv, ok = blocked_inverse(a + c, refine=refine)
+                return c + jnp.float32(1e-7), jnp.sum(inv)
+            c, outs = lax.scan(body, jnp.float32(0), None, length=k)
+            return jnp.sum(outs) + c
+        return p
 
-    @jax.jit
-    def probe_blocked_raw(a):
-        inv, ok = blocked_inverse(a, block_size=256, refine=0)
-        return jnp.sum(inv) + ok.astype(jnp.float32)
+    t_raw, t_raw_single = _amortized(lambda k: make_blocked(k, 0), a_big)
+    t_ref, t_ref_single = _amortized(lambda k: make_blocked(k, 1), a_big)
 
-    @jax.jit
-    def probe_lu(a):
-        from gpu_matrix_inversion_tpu.ops.lu import lu_inverse_fast
-        inv, ok = lu_inverse_fast(a)
-        return jnp.sum(inv) + ok.astype(jnp.float32)
+    def make_lu(k):
+        @jax.jit
+        def p(a):
+            def body(c, _):
+                inv, ok = lu_inverse_fast(a + c)
+                return c + jnp.float32(1e-7), jnp.sum(inv)
+            c, outs = lax.scan(body, jnp.float32(0), None, length=k)
+            return jnp.sum(outs) + c
+        return p
 
-    t_blocked = _bench(probe_blocked, a_big)
-    t_blocked_raw = _bench(probe_blocked_raw, a_big)
-    t_lu = _bench(probe_lu, a_big)
-    gflops_blocked = 4 * n_big**3 / t_blocked / 1e9
+    t_lu, _ = _amortized(make_lu, a_big, 1, 3)
+    gflops_raw = 4 * n_big**3 / t_raw / 1e9
 
-    # --- correctness gate (BASELINE: <=1e-4 rel residual) ------------------
+    # --- correctness gates (BASELINE: <=1e-4 rel residual) ------------------
     inv_small, ok_small = fused_inverse(np.asarray(base[0]))
     resid = relative_residual(base[0], np.asarray(inv_small))
+    inv_raw, ok_raw = blocked_inverse(a_big, refine=0)
+    resid_raw = relative_residual(np.asarray(a_big), np.asarray(inv_raw))
+    inv_refined, _ = blocked_inverse(a_big, refine=1)
+    resid_refined = relative_residual(np.asarray(a_big),
+                                      np.asarray(inv_refined))
 
     result = {
         "metric": "batched_128x128_fp32_inversions_per_sec",
@@ -97,12 +130,16 @@ def main() -> None:
         "vs_baseline": round(inv_per_s / np_inv_per_s, 2),
         "batch": bs,
         "numpy_inv_per_s": round(np_inv_per_s, 1),
-        "blocked_4096_ms": round(t_blocked * 1e3, 1),
-        "blocked_4096_ms_no_refine": round(t_blocked_raw * 1e3, 1),
+        "blocked_4096_ms": round(t_raw * 1e3, 1),
+        "blocked_4096_ms_single_call": round(t_raw_single * 1e3, 1),
+        "blocked_4096_ms_refined": round(t_ref * 1e3, 1),
+        "blocked_4096_ms_refined_single_call": round(t_ref_single * 1e3, 1),
         "lu_getri_4096_ms": round(t_lu * 1e3, 1),
-        "blocked_4096_gflops_4n3": round(gflops_blocked, 1),
+        "blocked_4096_gflops_4n3": round(gflops_raw, 1),
+        "blocked_4096_residual_raw": float(f"{resid_raw:.3g}"),
+        "blocked_4096_residual_refined": float(f"{resid_refined:.3g}"),
         "residual_128_fused": float(f"{resid:.3g}"),
-        "ok": bool(ok_small),
+        "ok": bool(ok_small) and bool(ok_raw) and resid_raw < 1e-4,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
