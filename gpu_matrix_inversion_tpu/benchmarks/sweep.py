@@ -78,19 +78,30 @@ def sweep_numpy(max_n: int, out, *, repeat: int = 1, skip=(), sizes=None):
 
 
 def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
-              dtype=np.float32, skip=(), sizes=None):
+              dtype=np.float32, skip=(), sizes=None, amortize: int = 0):
     """C9/C13 parity: device sweep with Res-style phase timings per row.
 
     Row format: ``N t_buffers t_compile t_compute t_readback t_total
-    err_reference resid_normalized`` -- the phase slots map onto the
-    reference's Res.times (FP32_bench.cpp:256-443; SURVEY.md section 5).
+    err_reference resid_normalized [t_amortized]`` -- the phase slots map
+    onto the reference's Res.times (FP32_bench.cpp:256-443; SURVEY.md
+    section 5). With ``amortize=k > 1`` a trailing column reports the
+    per-inversion time net of the ~26 ms tunnel dispatch floor (k
+    inversions inside one jitted scan, differenced against the single
+    call); that is the honest steady-state compute time on this setup.
     """
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from gpu_matrix_inversion_tpu.models.solver import inverse
     from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
     from gpu_matrix_inversion_tpu.utils.residual import (
         reference_error_metric, relative_residual)
+
+    # Warm the tunnel + dispatch path before the first timed row: round 1's
+    # artifact recorded 447 s of one-time warm-up inside row one's
+    # t_buffers.
+    warm = jax.device_put(jnp.zeros((128, 128), dtype=dtype))
+    float(jnp.sum(warm))
 
     for n in (sizes if sizes is not None else reference_sizes(max_n)):
         if n in skip:
@@ -125,8 +136,30 @@ def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
         err = reference_error_metric(a_host, inv_host)
         res = relative_residual(a_host, inv_host)
         total = t_buffers + t_compile + t_compute + t_read
-        out.write(f"{n} {t_buffers:.6f} {t_compile:.6f} {t_compute:.6f} "
-                  f"{t_read:.6f} {total:.6f} {err:.6e} {res:.3e}\n")
+        row = (f"{n} {t_buffers:.6f} {t_compile:.6f} {t_compute:.6f} "
+               f"{t_read:.6f} {total:.6f} {err:.6e} {res:.3e}")
+
+        if amortize > 1:
+            k = amortize
+
+            @jax.jit
+            def probe_k(x):
+                def body(c, _):
+                    invk, okk = inverse(x + c, method=method)
+                    return c + jnp.asarray(1e-7, x.dtype), jnp.sum(invk)
+                c, outs = lax.scan(body, jnp.asarray(0, a.dtype),
+                                   None, length=k)
+                return jnp.sum(outs) + c
+
+            float(probe_k(a))  # compile
+            t_k = float("inf")
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                float(probe_k(a))
+                t_k = min(t_k, time.perf_counter() - t0)
+            row += f" {max(t_k - t_compute, 0.0) / (k - 1):.6f}"
+
+        out.write(row + "\n")
         out.flush()
 
 
@@ -151,6 +184,10 @@ def main(argv=None):
                     help="comma-separated explicit sizes (overrides the "
                          "reference ramp; useful on TPU where every new "
                          "shape recompiles)")
+    ap.add_argument("--amortize", type=int, default=0,
+                    help="if k > 1, append a per-inversion time amortized "
+                         "over k in-jit runs (nets out the ~26 ms tunnel "
+                         "dispatch floor; costs one extra compile per size)")
     args = ap.parse_args(argv)
 
     skip = _done_sizes(args.out) if args.resume else set()
@@ -167,7 +204,7 @@ def main(argv=None):
                 jax.config.update("jax_enable_x64", True)
             sweep_tpu(args.max_n, out, method=args.method,
                       repeat=args.repeat, dtype=dtype, skip=skip,
-                      sizes=sizes)
+                      sizes=sizes, amortize=args.amortize)
     finally:
         if out is not sys.stdout:
             out.close()
