@@ -300,6 +300,39 @@ def _panel_pivots_logical(strip: jax.Array, used: jax.Array, kb, *, m: int,
 # Blocked driver
 # --------------------------------------------------------------------------
 
+def _select_block_params(n: int, block_size: int, dtype,
+                         search_bf16: bool):
+    """Size gating for the Pallas path; returns (b, use_pallas, search_bf16).
+
+    b = 128 tops out the Pallas path: wider panels scale search traffic
+    linearly with no benefit, and b > 128 at some m trips a Mosaic runtime
+    bug (hangs the chip at m=1024, b=256). Beyond that the gates are VMEM
+    budget for the search kernel's (b, m) working set + (b, m) input +
+    (8, m) mask + 2x (16, m) probes: fp32 fits b=128 to m=8192 and b=64 to
+    m=16384; past that the search data drops to bf16 (pivot choice only)
+    and b=32 carries to m=65536, with an explicit warning past that.
+    """
+    b = min(block_size, max(_round_up(n, 8), 8))
+    use_pallas = dtype in (jnp.float32, jnp.bfloat16)
+    if not use_pallas:
+        return b, False, False
+    b = min(b, 128)
+    m = max(_round_up(n, b), b)
+    if m > 8192:
+        b = min(b, 64)
+        m = max(_round_up(n, b), b)
+    if m > 16384:
+        search_bf16 = True
+        b = min(b, 32)
+        m = max(_round_up(n, b), b)
+    if m > 65536:
+        import warnings
+        warnings.warn(
+            f"n={n} exceeds the Pallas pivot-search reach (m<=65536); "
+            "falling back to the pure-jnp panel loop", stacklevel=2)
+        use_pallas = False
+    return b, use_pallas, search_bf16
+
 def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
                 interpret: bool, precision, search_bf16: bool,
                 group_size: int = 4):
@@ -502,31 +535,8 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
     if precision not in _PRECISIONS:
         raise ValueError(f"precision must be one of {set(_PRECISIONS)}")
     n = a.shape[-1]
-    b = min(block_size, max(_round_up(n, 8), 8))
-    use_pallas = a.dtype in (jnp.float32, jnp.bfloat16)
-    if use_pallas:
-        # b = 128 for the Pallas path: wider panels scale search traffic
-        # linearly with no benefit, and b > 128 at some m trips a Mosaic
-        # runtime bug (hangs the chip at m=1024, b=256). Beyond that the
-        # gates are VMEM budget for the search kernel's (b, m) working set
-        # + (b, m) input + (8, m) mask + 2x (16, m) probes: fp32 fits
-        # b=128 to m=8192 and b=64 to m=16384; past that the search data
-        # drops to bf16 (pivot choice only) and b=32 carries to m=65536.
-        b = min(b, 128)
-        m = max(_round_up(n, b), b)
-        if m > 8192:
-            b = min(b, 64)
-            m = max(_round_up(n, b), b)
-        if m > 16384:
-            search_bf16 = True
-            b = min(b, 32)
-            m = max(_round_up(n, b), b)
-        if m > 65536:
-            import warnings
-            warnings.warn(
-                f"n={n} exceeds the Pallas pivot-search reach (m<=65536); "
-                "falling back to the pure-jnp panel loop", stacklevel=2)
-            use_pallas = False
+    b, use_pallas, search_bf16 = _select_block_params(
+        n, block_size, a.dtype, search_bf16)
     if use_pallas:
         interpret = not tpu_available()
         # Trace/compile in 32-bit land: Mosaic cannot legalize the i64 index
