@@ -128,6 +128,16 @@ def _bench(flat, order: int, dtype, *, pivot: bool) -> Res:
         with timer.span("get_inverted"):
             out = np.asarray(inv).reshape(-1)
             res.ok = bool(ok)
+        # MATINV_DEBUG_PHASES=1: fill the reference's makeAug/pivot/row/
+        # column Res slots via the differential phase profiler (only
+        # meaningful where `auto` routes to the blocked path).
+        import os
+        if (os.environ.get("MATINV_DEBUG_PHASES") == "1"
+                and dtype == np.float32 and order >= 512):
+            from gpu_matrix_inversion_tpu.benchmarks.phases import (
+                measure_phases)
+            timer.times.update(measure_phases(order, pivot=pivot, k=2,
+                                              reps=1))
     if not res.ok:
         out = np.empty(0, dtype=dtype)
     if dtype == np.float64:

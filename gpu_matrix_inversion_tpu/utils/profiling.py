@@ -61,8 +61,8 @@ def print_phase_report(res, order: int, out=None) -> None:
     out = out or sys.stdout
     t = res.times
     print(f"matrix order: {order}", file=out)
-    for key in ("buffers", "compile", "total_compute", "get_inverted",
-                "total"):
+    for key in ("buffers", "compile", "make_augmented", "pivot", "row",
+                "column", "total_compute", "get_inverted", "total"):
         if key in t:
             print(f"  {key:>14}: {t[key] * 1e3:10.3f} ms", file=out)
     tc = t.get("total_compute")
