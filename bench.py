@@ -75,6 +75,12 @@ def main() -> None:
     t_batched = _bench(probe_batched, batch)
     inv_per_s = bs / t_batched
 
+    # bf16 I/O variant (fp32 VMEM compute; VERDICT r1 #6: must run
+    # compiled on hardware, not interpret-only).
+    batch_bf16 = batch.astype(jnp.bfloat16)
+    t_bf16 = _bench(probe_batched, batch_bf16)
+    inv_per_s_bf16 = bs / t_bf16
+
     # NumPy/LAPACK single-core baseline on the same matrices.
     np.linalg.inv(base[0])  # warm-up
     t0 = time.perf_counter()
@@ -130,6 +136,7 @@ def main() -> None:
         "vs_baseline": round(inv_per_s / np_inv_per_s, 2),
         "batch": bs,
         "numpy_inv_per_s": round(np_inv_per_s, 1),
+        "batched_bf16_inv_per_s": round(inv_per_s_bf16, 1),
         "blocked_4096_ms": round(t_raw * 1e3, 1),
         "blocked_4096_ms_single_call": round(t_raw_single * 1e3, 1),
         "blocked_4096_ms_refined": round(t_ref * 1e3, 1),

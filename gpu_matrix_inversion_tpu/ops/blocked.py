@@ -530,6 +530,15 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
     a = jnp.asarray(a)
     if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
         raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
+    if a.dtype == jnp.bfloat16:
+        # bf16 is an I/O format: compute in fp32 (bf16 GJ arithmetic is
+        # numerically useless past tiny n AND bf16 vector ops miscompile in
+        # parts of this Mosaic toolchain), return bf16.
+        inv, ok = blocked_inverse(a.astype(jnp.float32), pivot=pivot,
+                                  block_size=block_size, precision=precision,
+                                  search_bf16=search_bf16,
+                                  group_size=group_size, refine=refine)
+        return inv.astype(jnp.bfloat16), ok
     if group_size is None:
         group_size = max(4, 1024 // min(block_size, 128))
     if precision not in _PRECISIONS:

@@ -144,7 +144,10 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, aug, *, m: int, pivot: bool,
     -> scalar -> broadcast dependency chain, so multiple chains in flight
     hide the latency (pack=8 measures +37% throughput over pack=1 on v5e).
     """
-    f32 = aug.dtype
+    f32 = aug.dtype  # always float32: bf16 inputs compute in an fp32
+    # scratch (bf16 VECTOR arithmetic in this kernel miscompiles on the
+    # Mosaic toolchain; casting at the load/store boundary sidesteps it
+    # and is more accurate anyway -- bf16 is an I/O format here).
     # makeAugmentedMatrix (reference FP32.cpp:198-215): [A | I] in VMEM.
     # NOTE: build the eye from fresh (m, m) iotas -- lane-slicing a larger
     # broadcasted_iota value crashes the Mosaic compiler on this toolchain.
@@ -157,7 +160,7 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, aug, *, m: int, pivot: bool,
     lane_row = lax.broadcasted_iota(jnp.int32, (1, 2 * m), 1)
 
     for s in range(pack):
-        aug[s, :, :m] = a_ref[s]
+        aug[s, :, :m] = a_ref[s].astype(f32)
         aug[s, :, m:] = eye
         pos_ref[s] = rows
 
@@ -219,7 +222,7 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, aug, *, m: int, pivot: bool,
         # to 0 iff every element is finite.
         probe = jnp.sum(inv * jnp.zeros_like(inv))
         ok = fin[s][1] * (probe == 0).astype(jnp.int32)
-        inv_ref[s] = inv
+        inv_ref[s] = inv.astype(inv_ref.dtype)
         # ok is a per-system (1, 1) VMEM vector store (SMEM outputs must
         # cover the whole array, capping batch; scalar VMEM stores are
         # unsupported).
@@ -270,7 +273,7 @@ def _fused_batched(a, *, pivot: bool, interpret: bool):
             jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((pack, m, 2 * m), a.dtype)],
+        scratch_shapes=[pltpu.VMEM((pack, m, 2 * m), jnp.float32)],
         interpret=interpret,
     )(a)
     # Undo the logical permutation: inverse row g is at physical row pos[g].
@@ -289,11 +292,6 @@ def fused_inverse(a: jax.Array, *, pivot: bool = True):
         raise NotImplementedError(
             f"fused Pallas kernel serves fp32/bf16; got {a.dtype} "
             "(FP64 routes to the jnp spec / blocked path)")
-    if a.dtype == jnp.bfloat16 and tpu_available():
-        # Compiles in interpret mode but trips a Mosaic internal error on
-        # hardware (jax 0.9.0); route bf16 through the jnp spec there.
-        raise NotImplementedError("bf16 fused kernel miscompiles on this "
-                                  "Mosaic toolchain; use the jnp spec")
     n = a.shape[-1]
     if n > FUSED_MAX_N:
         raise NotImplementedError(

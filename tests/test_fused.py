@@ -68,3 +68,17 @@ def test_fused_bfloat16_smoke():
     # bf16 has ~3 significant digits; loose gate.
     assert relative_residual(np.asarray(a, np.float64),
                              np.asarray(inv, np.float64)) < 1e-2
+
+
+def test_blocked_bfloat16_io():
+    """bf16 blocked path: bf16 in/out, fp32 compute (VERDICT r1 #6)."""
+    import jax.numpy as jnp
+    from gpu_matrix_inversion_tpu.ops.blocked import blocked_inverse
+    a = hollow_random_matrix(160, seed=31).astype(jnp.bfloat16)
+    inv, ok = blocked_inverse(a, block_size=64, refine=0)
+    assert bool(ok) and inv.dtype == jnp.bfloat16
+    a64 = np.asarray(a, np.float64)
+    inv64 = np.asarray(inv, np.float64)
+    r = np.linalg.norm(a64 @ inv64 - np.eye(160)) / (
+        np.linalg.norm(a64) * np.linalg.norm(inv64))
+    assert r < 5e-3  # bf16 output quantization floor
