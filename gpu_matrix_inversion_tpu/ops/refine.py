@@ -34,11 +34,18 @@ def newton_schulz_refine(a: jax.Array, x: jax.Array, *, iters: int = 2,
     eye = jnp.eye(n, dtype=rd)
     a_h = a.astype(rd)
     x_h = x.astype(rd)
+    # The residual GEMM must be exact-f32 (HIGHEST: TPU f32 matmul defaults
+    # to bf16 passes); the correction GEMM X @ R can run one tier down --
+    # its bf16x3 error is relative to ||X||*||R|| ~ residual-sized, i.e.
+    # ~1e-4 * residual in the refined result, far below the step's own
+    # quadratic convergence floor. Saves ~1/4 of the polish cost on v5e.
+    corr_prec = (jax.lax.Precision.HIGH if rd == jnp.float32
+                 else jax.lax.Precision.HIGHEST)
     for _ in range(iters):
         r = eye - jnp.matmul(a_h, x_h, preferred_element_type=rd,
                         precision=jax.lax.Precision.HIGHEST)
         x_h = x_h + jnp.matmul(x_h, r, preferred_element_type=rd,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=corr_prec)
     return x_h
 
 
