@@ -4,6 +4,10 @@ Reference equivalent: MATLAB `clib.matInv.matrix_inv_32(b, N)` via clibgen
 (README.md:49-51) or C++ `matrix_inversion_FP32(vector, N)` (headers.h:8).
 """
 import numpy as np
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # run as a script without installing
 import gpu_matrix_inversion_tpu as mi
 
 n = 256

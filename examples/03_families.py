@@ -1,6 +1,10 @@
 """Solver families: Gauss-Jordan (fused/blocked), LU, Newton-Schulz,
 mixed-precision refinement."""
 import numpy as np
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # run as a script without installing
 import gpu_matrix_inversion_tpu as mi
 from gpu_matrix_inversion_tpu.ops import (lu_factor_blocked, lu_solve_fast,
                                           lu_inverse_refined)

@@ -2,6 +2,10 @@
 configs[4]). Run with real chips, or simulate with
 XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu."""
 import numpy as np
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # run as a script without installing
 import gpu_matrix_inversion_tpu as mi
 from gpu_matrix_inversion_tpu.parallel import (make_device_mesh,
                                                sharded_batched_inverse)
