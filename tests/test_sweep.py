@@ -34,3 +34,12 @@ def test_device_sweep_rows():
     cols = rows[-1].split()
     assert int(cols[0]) == 20 and len(cols) == 8
     assert float(cols[7]) < 1e-4  # normalized residual column
+
+
+def test_device_sweep_amortized_column():
+    out = io.StringIO()
+    sweep_tpu(20, out, method="spec", repeat=1, amortize=3)
+    rows = out.getvalue().strip().splitlines()
+    cols = rows[-1].split()
+    assert len(cols) == 9  # trailing amortized per-inversion time
+    assert float(cols[8]) >= 0.0
