@@ -52,7 +52,9 @@ def _amortized(make_fn, a, k1: int = 1, k2: int = 5, reps: int = 2) -> tuple:
     difference the k1 and k2 timings."""
     t1 = _bench(make_fn(k1), a, reps=reps)
     t2 = _bench(make_fn(k2), a, reps=reps)
-    return (t2 - t1) / (k2 - k1), t1
+    # Clamp: tunnel jitter can make t2 < t1 for ops far below the ~26 ms
+    # dispatch floor; never report a negative/zero per-op time.
+    return max((t2 - t1) / (k2 - k1), 1e-6), t1
 
 
 def main() -> None:

@@ -128,16 +128,6 @@ def _bench(flat, order: int, dtype, *, pivot: bool) -> Res:
         with timer.span("get_inverted"):
             out = np.asarray(inv).reshape(-1)
             res.ok = bool(ok)
-        # MATINV_DEBUG_PHASES=1: fill the reference's makeAug/pivot/row/
-        # column Res slots via the differential phase profiler (only
-        # meaningful where `auto` routes to the blocked path).
-        import os
-        if (os.environ.get("MATINV_DEBUG_PHASES") == "1"
-                and dtype == np.float32 and order >= 512):
-            from gpu_matrix_inversion_tpu.benchmarks.phases import (
-                measure_phases)
-            timer.times.update(measure_phases(order, pivot=pivot, k=2,
-                                              reps=1))
     if not res.ok:
         out = np.empty(0, dtype=dtype)
     if dtype == np.float64:
@@ -145,6 +135,18 @@ def _bench(flat, order: int, dtype, *, pivot: bool) -> Res:
     else:
         res.inversa32 = out.astype(np.float32)
     res.times = dict(timer.times, total=timer.total())
+    # MATINV_DEBUG_PHASES=1: fill the reference's makeAug/pivot/row/column
+    # Res slots via the differential phase profiler (only meaningful where
+    # `auto` routes to the blocked path). Runs AFTER `total` is finalized
+    # so the profiler's own compiles never pollute the measured slots, and
+    # never overwrites the span-measured total_compute.
+    import os
+    if (os.environ.get("MATINV_DEBUG_PHASES") == "1" and res.ok
+            and dtype == np.float32 and order >= 512):
+        from gpu_matrix_inversion_tpu.benchmarks.phases import measure_phases
+        phases = measure_phases(order, pivot=pivot, k=2, reps=1)
+        phases.pop("total_compute", None)
+        res.times.update(phases)
     return res
 
 

@@ -46,13 +46,16 @@ def _resolve(method: str, a: jax.Array) -> str:
 
 
 def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
-            block_size: int | None = None,
-            mesh=None) -> Tuple[jax.Array, jax.Array]:
+            block_size: int | None = None, mesh=None,
+            precision: str | None = None,
+            search_bf16: bool | None = None) -> Tuple[jax.Array, jax.Array]:
     """Invert ``a`` (shape ``(..., n, n)``); returns ``(inverse, ok)``.
 
     ``ok`` is the singularity flag per the reference's empty-on-singular
     contract (SURVEY.md section 2, C10). ``method="sharded"`` runs the
     panel-sharded multi-chip path over ``mesh`` (default: all devices).
+    ``precision``/``search_bf16`` apply to the blocked path only (other
+    methods ignore them).
     """
     if method not in METHODS:
         raise ValueError(f"method must be one of {METHODS}, got {method!r}")
@@ -81,7 +84,13 @@ def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
             resolved = "spec"
     if resolved == "blocked":
         from gpu_matrix_inversion_tpu.ops.blocked import blocked_inverse
-        kwargs = {} if block_size is None else {"block_size": block_size}
+        kwargs = {}
+        if block_size is not None:
+            kwargs["block_size"] = block_size
+        if precision is not None:
+            kwargs["precision"] = precision
+        if search_bf16 is not None:
+            kwargs["search_bf16"] = search_bf16
         return blocked_inverse(a, pivot=pivot, **kwargs)
     if resolved == "lu":
         from gpu_matrix_inversion_tpu.ops.lu import lu_inverse, lu_inverse_fast
@@ -99,30 +108,59 @@ def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
 
 def solve(a: jax.Array, b: jax.Array, *, method: str = "auto",
           pivot: bool = True, block_size: int | None = None,
-          mesh=None) -> Tuple[jax.Array, jax.Array]:
-    """Solve ``A @ x = b``; returns ``(x, ok)``.
+          mesh=None, refine_iters: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """Solve ``A @ x = b``; returns ``(x, ok)``. ``b`` may be ``(..., n, k)``
+    or a single right-hand side ``(..., n)``.
 
-    For the LU method this uses forward/back substitution; other methods form
-    the explicit inverse (matching the reference, which only ever inverts).
+    For the LU method this uses forward/back substitution; other methods
+    form the explicit inverse (matching the reference, which only ever
+    inverts). ``refine_iters`` applies classic iterative refinement
+    REUSING the factorization/inverse (LAPACK dsgesv pattern; the
+    correction costs O(n^2 k) per iteration, not a re-factorization).
     """
     a = jnp.asarray(a)
+    b = jnp.asarray(b, a.dtype)
+    vec = (b.ndim == a.ndim - 1)  # single RHS as a vector
+    if vec:
+        b = b[..., None]
+    hp = jax.lax.Precision.HIGHEST
+
     lu_auto = (method == "auto" and a.shape[-1] >= _BLOCKED_MIN_N)
     if method == "lu" or lu_auto:
         # Triangular solves (getrs); blocked factor + XLA triangular-solve
         # primitive for sizes where panel GEMMs pay off.
+        from gpu_matrix_inversion_tpu.ops.lu import (
+            lu_factor, lu_factor_blocked, lu_solve, lu_solve_fast)
         if a.shape[-1] >= 256:
-            from gpu_matrix_inversion_tpu.ops.lu import (
-                lu_factor_blocked, lu_solve_fast)
             kwargs = {} if block_size is None else {"block_size": block_size}
             lu, perm, ok_f = lu_factor_blocked(a, pivot=pivot, **kwargs)
             x, ok_s = lu_solve_fast(lu, perm, b)
-            return x, jnp.logical_and(ok_f, ok_s)
-        from gpu_matrix_inversion_tpu.ops.lu import lu_solve_matrix
-        return lu_solve_matrix(a, b, pivot=pivot)
-    inv, ok = inverse(a, method=method, pivot=pivot, block_size=block_size,
-                      mesh=mesh)
-    x = jnp.matmul(inv, b, preferred_element_type=inv.dtype,
-                    precision=jax.lax.Precision.HIGHEST)
+        else:
+            lu, perm, ok_f = lu_factor(a, pivot=pivot)
+            x, ok_s = lu_solve(lu, perm, b)
+        ok = jnp.logical_and(ok_f, ok_s)
+        if refine_iters > 0:
+            from gpu_matrix_inversion_tpu.ops.refine import refine_solve
+            x = refine_solve(a, b, x, lu, perm, iters=refine_iters)
+            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(x),
+                                             axis=(-2, -1)))
+    else:
+        inv, ok = inverse(a, method=method, pivot=pivot,
+                          block_size=block_size, mesh=mesh)
+        x = jnp.matmul(inv, b, preferred_element_type=inv.dtype,
+                       precision=hp)
+        for _ in range(refine_iters):
+            # Correction reuses the cached inverse: one residual GEMM +
+            # one apply per iteration.
+            r = b - jnp.matmul(a, x, preferred_element_type=a.dtype,
+                               precision=hp)
+            x = x + jnp.matmul(inv, r, preferred_element_type=inv.dtype,
+                               precision=hp)
+        if refine_iters > 0:
+            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(x),
+                                             axis=(-2, -1)))
+    if vec:
+        x = x[..., 0]
     return x, ok
 
 
@@ -153,7 +191,9 @@ class Inverter:
         cfg = self.config
         a = self._cast(a)
         x, ok = inverse(a, method=cfg.method, pivot=cfg.pivot,
-                        block_size=cfg.block_size, mesh=self.mesh)
+                        block_size=cfg.block_size, mesh=self.mesh,
+                        precision=cfg.precision,
+                        search_bf16=cfg.search_bf16)
         if cfg.refine_iters > 0:
             from gpu_matrix_inversion_tpu.ops.refine import (
                 newton_schulz_refine)
@@ -164,23 +204,10 @@ class Inverter:
 
     def solve(self, a, b):
         # Thread the full session config through (ADVICE r1: solve used to
-        # forward only method, silently dropping pivot/block_size/mesh).
+        # forward only method, silently dropping pivot/block_size/mesh);
+        # refinement happens inside solve(), reusing the factorization.
         cfg = self.config
         a = self._cast(a)
-        x, ok = solve(a, jnp.asarray(b, a.dtype), method=cfg.method,
-                      pivot=cfg.pivot, block_size=cfg.block_size,
-                      mesh=self.mesh)
-        if cfg.refine_iters > 0:
-            from gpu_matrix_inversion_tpu.ops.refine import (
-                iterative_refine_solve)
-            b = jnp.asarray(b, a.dtype)
-
-            def resolve(aa, rr):
-                return solve(aa, rr, method=cfg.method, pivot=cfg.pivot,
-                             block_size=cfg.block_size, mesh=self.mesh)
-
-            x = iterative_refine_solve(a, b, x, resolve,
-                                       iters=cfg.refine_iters)
-            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(x),
-                                             axis=(-2, -1)))
-        return x, ok
+        return solve(a, jnp.asarray(b, a.dtype), method=cfg.method,
+                     pivot=cfg.pivot, block_size=cfg.block_size,
+                     mesh=self.mesh, refine_iters=cfg.refine_iters)

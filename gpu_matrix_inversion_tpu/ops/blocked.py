@@ -197,7 +197,12 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
     """
     # sub=16 measured fastest at 4096 (sub=32: 17.3 ms, sub=16: 16.6 ms
     # amortized; the deferred dots' K=16 contraction is still fine on MXU).
+    # sub must DIVIDE b -- the static sub-panel unroll covers exactly
+    # (b // sub) * sub steps, so a non-divisor silently skips the last
+    # b % sub pivots (caught by review at b = 40, 56, 120, ...).
     sub = min(16, b)
+    while b % sub:
+        sub -= 1
     kmask = 1
     while kmask < m:
         kmask = 2 * kmask

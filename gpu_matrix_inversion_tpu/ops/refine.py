@@ -71,26 +71,6 @@ def refine_solve(a: jax.Array, b: jax.Array, x: jax.Array, lu: jax.Array,
     return x_h
 
 
-def iterative_refine_solve(a: jax.Array, b: jax.Array, x: jax.Array,
-                           solve_fn, *, iters: int = 1,
-                           residual_dtype=None):
-    """Iterative refinement of ``A x = b`` with an arbitrary inner solver.
-
-    Classic IR loop (residual in ``residual_dtype``, correction via
-    ``solve_fn(a, r) -> (d, ok)``). Unlike :func:`refine_solve` this does not
-    need LU factors, so any dispatch path (blocked GJ, sharded, NS) can be
-    refined; the price is one full re-solve per iteration.
-    """
-    rd = jnp.dtype(residual_dtype) if residual_dtype is not None else x.dtype
-    a_h, b_h, x_h = a.astype(rd), b.astype(rd), x.astype(rd)
-    for _ in range(iters):
-        r = b_h - jnp.matmul(a_h, x_h, preferred_element_type=rd,
-                             precision=jax.lax.Precision.HIGHEST)
-        d, _ = solve_fn(a, r.astype(x.dtype))
-        x_h = x_h + d.astype(rd)
-    return x_h
-
-
 def lu_inverse_refined(a: jax.Array, *, iters: int = 2, residual_dtype=None):
     """FP32 LU inverse + Newton-Schulz refinement; returns ``(inv, ok)``.
 

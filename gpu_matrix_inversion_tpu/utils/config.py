@@ -22,7 +22,7 @@ class InversionConfig:
     method: str = "auto"          # which algorithm family
     block_size: int = 128         # blocked-path panel width
     precision: str = "highest"    # MXU precision for trailing updates
-    search_bf16: bool = True      # bfloat16 pivot search
+    search_bf16: bool = False     # bfloat16 pivot-search data (blocked path)
     refine_iters: int = 0         # Newton-Schulz refinement steps
     repeat: int = 1               # REP (timed repetitions)
     seed: int = 0                 # RAND

@@ -45,3 +45,18 @@ def test_refine_keeps_singular_flag():
     a = np.ones((256, 256), dtype=np.float32)
     _, ok = blocked_inverse(a, refine=1)
     assert not bool(ok)
+
+
+def test_block_sizes_not_multiple_of_16():
+    """Review regression: sub must divide b, else the kernel silently skips
+    the last b % 16 pivot steps (n in {24,40,...,120} or block_size=40)."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.ops.blocked import blocked_inverse
+    from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+    from gpu_matrix_inversion_tpu.utils.residual import relative_residual
+
+    for n, bs in ((24, 256), (40, 256), (120, 256), (256, 40)):
+        a = hollow_random_matrix(n, seed=n + bs)
+        inv, ok = blocked_inverse(a, block_size=bs, refine=0)
+        assert bool(ok), (n, bs)
+        assert relative_residual(a, np.asarray(inv)) < 1e-4, (n, bs)

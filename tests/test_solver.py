@@ -56,3 +56,40 @@ def test_inverter_solve_threads_config():
     assert bool(np.all(np.asarray(ok)))
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b),
                                rtol=1e-8, atol=1e-9)
+
+
+def test_solve_1d_rhs_with_refinement():
+    """Review regression: 1-D right-hand sides must work with refine_iters
+    (the refinement reduction assumed a 2-D x)."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.models.solver import Inverter, solve
+    from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+
+    n = 64
+    a = hollow_random_matrix(n, seed=400, dtype=np.float64)
+    b = np.random.default_rng(2).standard_normal(n)
+    for method in ("spec", "lu"):
+        inv = Inverter(dtype="float64", method=method, refine_iters=1)
+        x, ok = inv.solve(a, b)
+        assert bool(np.all(np.asarray(ok)))
+        assert np.asarray(x).shape == (n,)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b),
+                                   rtol=1e-9, atol=1e-10)
+    x, ok = solve(a, b, method="lu", refine_iters=2)
+    assert np.asarray(x).shape == (n,) and bool(np.all(np.asarray(ok)))
+
+
+def test_inverter_threads_precision_and_search():
+    """Review finding: config precision/search_bf16 were dead knobs."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.models.solver import Inverter
+    from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+
+    a = hollow_random_matrix(96, seed=5)
+    inv = Inverter(dtype="float32", method="blocked", precision="high",
+                   search_bf16=True, refine_iters=0)
+    x, ok = inv.inverse(a)
+    assert bool(ok)
+    r = np.linalg.norm(a.astype(np.float64) @ np.asarray(x, np.float64)
+                       - np.eye(96))
+    assert r < 1e-1  # bf16x3 trailing updates: loose but finite gate
