@@ -324,10 +324,15 @@ def _select_block_params(n: int, block_size: int, dtype,
     b = min(b, 128)
     m = max(_round_up(n, b), b)
     if m > 8192:
-        b = min(b, 64)
+        # fp32 search data caps b at 64 here; bf16 search data is half the
+        # VMEM, so an explicit search_bf16=True keeps b=128 to m=16384.
+        b = min(b, 128 if search_bf16 else 64)
         m = max(_round_up(n, b), b)
     if m > 16384:
         search_bf16 = True
+        b = min(b, 64)
+        m = max(_round_up(n, b), b)
+    if m > 32768:
         b = min(b, 32)
         m = max(_round_up(n, b), b)
     if m > 65536:

@@ -165,7 +165,11 @@ def test_block_param_boundaries():
     assert sel(8192) == (128, True, False)
     assert sel(8193) == (64, True, False)       # m rounds past 8192
     assert sel(16384) == (64, True, False)
-    assert sel(16385) == (32, True, True)       # bf16 search data regime
+    # explicit bf16 search data keeps b=128 to 16384 (half the VMEM)
+    assert _select_block_params(16384, 128, jnp.float32, True) == (
+        128, True, True)
+    assert sel(16385) == (64, True, True)       # bf16 search data regime
+    assert sel(32769) == (32, True, True)
     assert sel(65536) == (32, True, True)
     with pytest.warns(UserWarning, match="Pallas pivot-search reach"):
         b, use_pallas, _ = _select_block_params(65537, 128, jnp.float32,
