@@ -388,10 +388,14 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     # not-yet-pivot row p, so late injection is sound), so the whole matrix
     # is touched ONCE per group (rank-group*b GEMM) instead of once per
     # panel: 4x fewer full passes at group=4.
+    # group need NOT divide num_panels: a shorter tail group handles the
+    # remainder (shrinking group to a divisor collapsed to group=1 on
+    # prime-ish panel counts -- N=10000 has 157 panels -- and cratered
+    # throughput 4-8x on non-power sizes).
     group = max(1, min(group_size, num_panels))
-    while num_panels % group:
-        group -= 1
     gw = group * b
+    num_groups = num_panels // group
+    tail = num_panels - num_groups * group
 
     def factor(strip, kb, used):
         """Panel pivot rows + full-precision pivot-block inverse."""
@@ -410,15 +414,16 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
             ok_f = jnp.logical_and(ok_p, ok_d)
         return pivrows, dinv, ok_f
 
-    def group_step(kk, carry):
+    def run_group(kb0, carry, gsize, gw):
+        """Factor ``gsize`` consecutive panels starting at column ``kb0``
+        and apply their composite transform to the live window."""
         aug, used, pos, ok = carry
-        kb0 = kk.astype(jnp.int32) * gw
         og = jnp.concatenate(
             [lax.dynamic_slice(aug, (_i0, kb0), (m, gw)),
              jnp.zeros((m, gw), dtype)], axis=1)  # [O | G]
         pivtot = jnp.zeros((gw,), jnp.int32)
 
-        for i in range(group):  # static unroll; all slices static
+        for i in range(gsize):  # static unroll; all slices static
             ib = i * b
             strip = og[:, ib:ib + b]
             pivrows, dinv, ok_f = factor(strip, kb0 + ib, used)
@@ -468,11 +473,19 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
                                        (_i0, np.int32(m) + kb0))
         return aug, used, pos, ok
 
+    def group_step(kk, carry):
+        kb0 = kk.astype(jnp.int32) * gw
+        return run_group(kb0, carry, group, gw)
+
     used0 = jnp.zeros((m, 1), jnp.float32)
     pos0 = lax.broadcasted_iota(jnp.int32, (m,), 0)
-    aug, _, pos, ok = lax.fori_loop(
-        0, num_panels // group, group_step,
+    carry = lax.fori_loop(
+        0, num_groups, group_step,
         (aug, used0, pos0, jnp.bool_(True)))
+    if tail:
+        carry = run_group(jnp.int32(num_groups * group * b), carry,
+                          tail, tail * b)
+    aug, _, pos, ok = carry
     # Undo the logical permutation once. Slot t of the right half is the
     # inverse column pos[t] (and inverse row g lives at physical row
     # pos[g]), so gather columns by the inverse permutation of pos, then

@@ -60,3 +60,23 @@ def test_block_sizes_not_multiple_of_16():
         inv, ok = blocked_inverse(a, block_size=bs, refine=0)
         assert bool(ok), (n, bs)
         assert relative_residual(a, np.asarray(inv)) < 1e-4, (n, bs)
+
+
+def test_tail_group_non_dividing_panel_count():
+    """Prime-ish panel counts must not collapse grouping (N=10000 has 157
+    panels at b=64): a shorter tail group handles the remainder."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.ops.blocked import blocked_inverse
+    from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+    from gpu_matrix_inversion_tpu.utils.residual import relative_residual
+
+    # 11 panels of b=8, group 4 -> 2 full groups + tail of 3
+    a = hollow_random_matrix(88, seed=88)
+    inv, ok = blocked_inverse(a, block_size=8, group_size=4, refine=0)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-4
+    # 7 panels, group 4 -> 1 full group + tail of 3; also fp64 (jnp path)
+    a = hollow_random_matrix(56, seed=56, dtype=np.float64)
+    inv, ok = blocked_inverse(a, block_size=8, group_size=4, refine=1)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-10
