@@ -122,6 +122,21 @@ def main() -> None:
     t_lu, _ = _amortized(make_lu, a_big, 1, 3)
     gflops_raw = 4 * n_big**3 / t_raw / 1e9
 
+    # --- 16384^2 single-chip capacity point (VERDICT r1 #5) ----------------
+    # At ~0.9 s of compute the ~26 ms dispatch floor is ~3%, so a plain
+    # single-call timing is honest here; no amortization scan needed.
+    n_huge = 16384
+    a_huge = jnp.asarray(hollow_random_matrix(n_huge, seed=2))
+
+    @jax.jit
+    def probe_huge(a):
+        inv, ok = blocked_inverse(a, refine=0)
+        return jnp.sum(inv) + ok.astype(jnp.float32)
+
+    t_huge = _bench(probe_huge, a_huge, reps=2)
+    gflops_huge = 4 * n_huge**3 / t_huge / 1e9
+    del a_huge
+
     # --- correctness gates (BASELINE: <=1e-4 rel residual) ------------------
     inv_small, ok_small = fused_inverse(np.asarray(base[0]))
     resid = relative_residual(base[0], np.asarray(inv_small))
@@ -145,6 +160,8 @@ def main() -> None:
         "blocked_4096_ms_refined_single_call": round(t_ref_single * 1e3, 1),
         "lu_getri_4096_ms": round(t_lu * 1e3, 1),
         "blocked_4096_gflops_4n3": round(gflops_raw, 1),
+        "blocked_16384_ms": round(t_huge * 1e3, 1),
+        "blocked_16384_gflops_4n3": round(gflops_huge, 1),
         "blocked_4096_residual_raw": float(f"{resid_raw:.3g}"),
         "blocked_4096_residual_refined": float(f"{resid_refined:.3g}"),
         "residual_128_fused": float(f"{resid:.3g}"),

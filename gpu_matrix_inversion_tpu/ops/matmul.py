@@ -35,8 +35,11 @@ def _matmul_kernel(a_ref, b_ref, o_ref, acc, *, k_steps: int):
     def _():
         acc[:, :] = jnp.zeros_like(acc)
 
+    # Explicit HIGHEST: the TPU default would round fp32 operands to bf16
+    # inside the kernel, defeating a VERIFICATION gemm's whole purpose.
     acc[:, :] += jnp.dot(a_ref[:, :], b_ref[:, :],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(k == k_steps - 1)
     def _():

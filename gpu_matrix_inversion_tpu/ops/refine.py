@@ -33,6 +33,15 @@ def newton_schulz_refine(a: jax.Array, x: jax.Array, *, iters: int = 2,
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=rd)
     a_h = a.astype(rd)
+    # MISCOMPILE GUARD (measured on v5e, jax 0.9.0): when the approximate
+    # inverse is consumed ONLY by this refine (its array never escaping the
+    # jit program), XLA:TPU restructures the producer's gather/slice/select
+    # chain into the refine GEMMs and the refined residual degrades ~4
+    # orders of magnitude (n=1950 hollow: 3e-8 -> 1.7e-4), data-dependently
+    # and TPU-only -- returning the intermediate from the same program, or
+    # this barrier, restores the exact result bit-for-bit. The barrier only
+    # pins a fusion boundary; it costs nothing against the O(n^3) GEMMs.
+    x = jax.lax.optimization_barrier(x)
     x_h = x.astype(rd)
     # The residual GEMM must be exact-f32 (HIGHEST: TPU f32 matmul defaults
     # to bf16 passes); the correction GEMM X @ R can run one tier down --
@@ -62,12 +71,15 @@ def refine_solve(a: jax.Array, b: jax.Array, x: jax.Array, lu: jax.Array,
     rd = jnp.dtype(residual_dtype) if residual_dtype is not None else x.dtype
     b_h = b.astype(rd)
     a_h = a.astype(rd)
-    x_h = x.astype(rd)
+    # Same XLA:TPU dead-intermediate miscompile guard as
+    # newton_schulz_refine: the initial solve and each correction reach
+    # this loop through gather chains (permutation rows in lu_solve).
+    x_h = jax.lax.optimization_barrier(x).astype(rd)
     for _ in range(iters):
         r = b_h - jnp.matmul(a_h, x_h, preferred_element_type=rd,
                         precision=jax.lax.Precision.HIGHEST)
         d, _ = lu_solve(lu, perm, r.astype(x.dtype))
-        x_h = x_h + d.astype(rd)
+        x_h = x_h + jax.lax.optimization_barrier(d).astype(rd)
     return x_h
 
 
