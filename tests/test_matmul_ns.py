@@ -58,3 +58,30 @@ def test_solver_ns_method():
     x, ok = inverse(a, method="ns")
     assert bool(ok)
     assert relative_residual(a, np.asarray(x)) < 1e-5
+
+
+def test_refine_keeps_miscompile_barrier():
+    """The optimization_barrier guards in ops/refine.py are load-bearing:
+    they pin the fusion seam that an XLA:TPU rewrite otherwise crosses,
+    corrupting refined inverses by ~4 orders of magnitude (hollow n=1950,
+    TPU-only, invisible on CPU -- see the comment at the guard). CPU tests
+    cannot observe the numeric failure, so assert the barrier survives in
+    the traced program structurally."""
+    import jax
+    import jax.numpy as jnp
+    from gpu_matrix_inversion_tpu.ops.refine import (newton_schulz_refine,
+                                                     refine_solve)
+
+    a = jnp.eye(8, dtype=jnp.float32)
+    x = jnp.eye(8, dtype=jnp.float32)
+    jaxpr = str(jax.make_jaxpr(
+        lambda a, x: newton_schulz_refine(a, x, iters=1))(a, x))
+    assert "optimization_barrier" in jaxpr
+
+    b = jnp.ones((8, 2), jnp.float32)
+    xb = jnp.ones((8, 2), jnp.float32)
+    perm = jnp.arange(8, dtype=jnp.int32)
+    jaxpr = str(jax.make_jaxpr(
+        lambda a, b, x, lu, perm: refine_solve(a, b, x, lu, perm, iters=1))(
+            a, b, xb, a, perm))
+    assert "optimization_barrier" in jaxpr
