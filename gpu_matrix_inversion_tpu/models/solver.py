@@ -147,6 +147,10 @@ def solve(a: jax.Array, b: jax.Array, *, method: str = "auto",
     else:
         inv, ok = inverse(a, method=method, pivot=pivot,
                           block_size=block_size, mesh=mesh)
+        # Under an outer jit `inv` is a gather/select-chain intermediate
+        # consumed only by the GEMMs below -- the XLA:TPU dead-intermediate
+        # rewrite trigger (DESIGN.md section 9; same guard as ops/refine.py).
+        inv = jax.lax.optimization_barrier(inv)
         x = jnp.matmul(inv, b, preferred_element_type=inv.dtype,
                        precision=hp)
         for _ in range(refine_iters):

@@ -176,26 +176,27 @@ def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
             # X^T + X^T[:, pivlanes] @ C^T with C^T = probe - psel, both
             # (sub, m); two MXU dots replace sub rank-1 passes per row.
             wl = w[r0 + sub:, :]                           # (bl, m)
-            # Explicit HIGHEST with f32 operands: Mosaic's default f32
-            # dot_general rounds the DATA operands to bf16 (a one-hot
-            # operand does not make it exact), which would put ~1e-3 of
-            # drift into the fp32 search working set and defeat the point
-            # of an exact partial-pivoting oracle (only the pivot CHOICE
-            # leaves this kernel; drift here degrades pivot quality, not
-            # correctness -- the bf16 search mode accepts that trade
-            # deliberately). The .astype(f32) casts are no-ops for the
-            # fp32 search and keep Mosaic legal for the bf16 one (bf16
-            # operands with fp32 contract precision fail to compile:
-            # "Bad lhs type").
-            g = lax.dot_general(wl.astype(jnp.float32),
-                                psel[:, :].astype(jnp.float32),
-                                (((1,), (1,)), ((), ())),
+            # Precision by search dtype: the fp32 search needs explicit
+            # HIGHEST -- Mosaic's *default* f32 dot_general rounds the DATA
+            # operands to bf16 (a one-hot operand does not make it exact),
+            # which would put ~1e-3 of drift into the working set and
+            # defeat an exact partial-pivoting oracle (only the pivot
+            # CHOICE leaves this kernel; drift degrades pivot quality, not
+            # correctness). The bf16 search keeps native bf16 operands at
+            # DEFAULT: one bf16 MXU pass over bf16 data is already exact
+            # into the f32 accumulator, and bf16 operands with an fp32
+            # contract precision fail to compile ("Bad lhs type") -- this
+            # also preserves the half-VMEM footprint the m > 16384 gating
+            # was sized against.
+            prec = (lax.Precision.DEFAULT if dt == jnp.bfloat16
+                    else lax.Precision.HIGHEST)
+            g = lax.dot_general(wl, psel[:, :], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGHEST)
-            ct = (probe[:, :] - psel[:, :]).astype(jnp.float32)
-            upd = lax.dot_general(g, ct, (((1,), (0,)), ((), ())),
+                                precision=prec)
+            ct = probe[:, :] - psel[:, :]
+            upd = lax.dot_general(g.astype(dt), ct, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32,
-                                  precision=lax.Precision.HIGHEST)
+                                  precision=prec)
             new_wl = wl + upd.astype(dt)
             w[r0 + sub:, :] = new_wl
             col = new_wl[0:1, :]
