@@ -68,9 +68,9 @@ def measure_phases(n: int = 2048, *, block_size: int = 128, pivot: bool = True,
     a = jnp.asarray(hollow_random_matrix(n, seed=seed))
     b, use_pallas, sbf16 = B._select_block_params(n, block_size,
                                                   a.dtype, False)
-    # Same derivation as blocked_inverse: from the USER block size, not the
-    # post-gating b, so the profiled configuration matches the real path.
-    group_size = max(4, 1024 // min(block_size, 128))
+    # Same derivation as blocked_inverse: from the GATED b, so the profiled
+    # configuration matches the real path (composite rank ~1024).
+    group_size = max(4, 1024 // min(b, 128))
     interpret = not tpu_available()
 
     def fake_search(strip, kb, used, *, m, b, pivot, interpret):

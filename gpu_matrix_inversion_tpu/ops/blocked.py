@@ -48,7 +48,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import _gauss_jordan_aug, _i0
-from gpu_matrix_inversion_tpu.ops.fused import gj_eliminate, tpu_available
+from gpu_matrix_inversion_tpu.ops.fused import (_round_up, gj_eliminate,
+                                                tpu_available)
 
 DEFAULT_BLOCK_SIZE = 256
 
@@ -57,10 +58,6 @@ _PRECISIONS = {
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 # --------------------------------------------------------------------------
@@ -416,9 +413,16 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     def factor(strip, kb, used):
         """Panel pivot rows + full-precision pivot-block inverse."""
         if use_pallas:
-            search = strip.astype(jnp.bfloat16) if search_bf16 else strip
-            pivrows = _pivot_search(search, kb, used, m=m, b=b,
-                                    pivot=pivot, interpret=interpret)
+            if not pivot:
+                # No-pivot rows are the deterministic kb..kb+b-1; launching
+                # the search kernel (the path's second-largest cost) just to
+                # compute that wastes nearly the pivoted path's full search
+                # time. ok comes solely from _invert_small here, as before.
+                pivrows = kb + lax.broadcasted_iota(jnp.int32, (b,), 0)
+            else:
+                search = strip.astype(jnp.bfloat16) if search_bf16 else strip
+                pivrows = _pivot_search(search, kb, used, m=m, b=b,
+                                        pivot=pivot, interpret=interpret)
             dblk = jnp.take(strip, pivrows, axis=0)
             dinv, ok_f = _invert_small(dblk, pivot=pivot,
                                        interpret=interpret)
@@ -546,6 +550,14 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
                     refine: int = 1):
     """Blocked Gauss-Jordan inverse; ``(..., n, n) -> (inverse, ok)``.
 
+    The large-N performance path mirroring the reference's pivoted
+    Gauss-Jordan (``matrix_inversion_FP32.cpp:12``): its per-iteration
+    rank-1 ``fixColumnKernel`` trailing update (FP32.cpp:17-63) is
+    regrouped into rank-``group*b`` MXU GEMMs, and the two-stage
+    maxPivot/finalMaxPivot argmax (FP32.cpp:68-142) generalizes to the
+    swap-free panel pivot search. ``pivot=False`` mirrors
+    ``matrix_inversion_no_pivots.cpp:10``.
+
     FP32/BF16 panels factor inside Pallas VMEM kernels; FP64 (and other
     dtypes Mosaic cannot serve) falls back to the pure-jnp panel loop.
 
@@ -578,13 +590,17 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
                                   search_bf16=search_bf16,
                                   group_size=group_size, refine=refine)
         return inv.astype(jnp.bfloat16), ok
-    if group_size is None:
-        group_size = max(4, 1024 // min(block_size, 128))
     if precision not in _PRECISIONS:
         raise ValueError(f"precision must be one of {set(_PRECISIONS)}")
     n = a.shape[-1]
     b, use_pallas, search_bf16 = _select_block_params(
         n, block_size, a.dtype, search_bf16)
+    if group_size is None:
+        # Derive from the GATED b, not the user's block_size: at e.g.
+        # n=16384 the VMEM gates shrink b 128 -> 64, and deriving first
+        # halved the composite rank to 512 exactly where grouping matters
+        # most (review finding; DESIGN measured rank ~1024 fastest there).
+        group_size = max(4, 1024 // min(b, 128))
     if use_pallas:
         interpret = not tpu_available()
         # Trace/compile in 32-bit land: Mosaic cannot legalize the i64 index

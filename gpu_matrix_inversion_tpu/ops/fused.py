@@ -60,13 +60,11 @@ def tpu_available() -> bool:
         return False
 
 
-def gj_eliminate(aug, rows_n: int, cols_n: int, *, pivot: bool,
-                 start_col: int = 0, num_steps: int | None = None):
+def gj_eliminate(aug, rows_n: int, cols_n: int, *, pivot: bool):
     """In-kernel Gauss-Jordan elimination loop over a VMEM ref.
 
-    ``aug`` is a (rows_n, cols_n) ref; the loop runs ``num_steps`` iterations
-    starting at pivot column/row ``start_col``. Returns an int32 ok flag
-    (0 if a zero pivot was hit).
+    ``aug`` is a (rows_n, cols_n) ref; the loop runs ``rows_n`` pivot steps.
+    Returns an int32 ok flag (0 if a zero pivot was hit).
 
     Fully vectorized: pivot column/row extraction are masked reductions, the
     row swap is a three-way ``where`` select -- no data-dependent indexing at
@@ -77,7 +75,6 @@ def gj_eliminate(aug, rows_n: int, cols_n: int, *, pivot: bool,
     lane = lax.broadcasted_iota(jnp.int32, (rows_n, cols_n), 1)
     sub = lax.broadcasted_iota(jnp.int32, (rows_n, cols_n), 0)
     rows = lax.broadcasted_iota(jnp.int32, (rows_n, 1), 0)
-    steps = rows_n if num_steps is None else num_steps
 
     def step(r, ok):
         full = aug[:, :]
@@ -126,8 +123,7 @@ def gj_eliminate(aug, rows_n: int, cols_n: int, *, pivot: bool,
         return ok
 
     # int32 loop bounds keep the induction variable int32 even under x64.
-    return lax.fori_loop(jnp.int32(start_col), jnp.int32(start_col + steps),
-                         step, jnp.int32(1))
+    return lax.fori_loop(jnp.int32(0), jnp.int32(rows_n), step, jnp.int32(1))
 
 
 def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, aug, *, m: int, pivot: bool,
@@ -158,6 +154,10 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, aug, *, m: int, pivot: bool,
     sub = lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
     rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     lane_row = lax.broadcasted_iota(jnp.int32, (1, 2 * m), 1)
+    kmask = 1
+    while kmask < m:
+        kmask *= 2
+    kmask -= 1  # next_pow2(m) - 1: the row-index field of the packed key
 
     for s in range(pack):
         aug[s, :, :m] = a_ref[s].astype(f32)
@@ -170,14 +170,17 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, aug, *, m: int, pivot: bool,
         if pivot:
             # maxPivot/finalMaxPivot (FP32.cpp:68-142) over UNUSED rows, as
             # ONE packed-key max reduction: the int32 bit pattern of a
-            # nonnegative f32 is value-monotonic, so pack |col| (top 22
-            # bits) with (1023 - row) for first-match tie-breaking.
+            # nonnegative f32 is value-monotonic, so pack |col| (the top
+            # 32 - log2(kmask+1) bits) with (kmask - row) for first-match
+            # tie-breaking. kmask is derived from m like the blocked twin
+            # (blocked.py _pivot_search) -- a hardcoded constant would
+            # silently corrupt pivots if FUSED_MAX_N ever grew past it.
             bits = lax.bitcast_convert_type(
                 jnp.abs(col).astype(jnp.float32), jnp.int32)
             key = jnp.where(used > 0, jnp.full_like(rows, -1),
-                            (bits & ~jnp.int32(1023))
-                            | (jnp.int32(1023) - rows))
-            p = jnp.int32(1023) - (jnp.max(key) & jnp.int32(1023))
+                            (bits & ~jnp.int32(kmask))
+                            | (jnp.int32(kmask) - rows))
+            p = jnp.int32(kmask) - (jnp.max(key) & jnp.int32(kmask))
         else:
             p = r
         used = jnp.where(rows == p, jnp.ones_like(used), used)
@@ -249,10 +252,9 @@ def _fused_batched(a, *, pivot: bool, interpret: bool):
         # rows/cols never win a pivot against a nonsingular A. The batch is
         # padded with identity matrices up to a multiple of pack.
         pad = jnp.broadcast_to(jnp.eye(m, dtype=a.dtype), (b, m, m))
-        pad = pad.at[:b0, :n, :n].set(a)
-        zero_right = jnp.zeros((b0, n, m - n), a.dtype)
-        pad = pad.at[:b0, :n, n:].set(zero_right)
-        a = pad
+        # The eye's own off-diagonal zeros already blank the top-right
+        # block, so only A needs depositing.
+        a = pad.at[:b0, :n, :n].set(a)
 
     kernel = functools.partial(_gj_kernel, m=m, pivot=pivot, pack=pack)
     inv, pos, ok = pl.pallas_call(
@@ -283,6 +285,13 @@ def _fused_batched(a, *, pivot: bool, interpret: bool):
 
 def fused_inverse(a: jax.Array, *, pivot: bool = True):
     """Invert ``(..., n, n)`` fp32/bf16 matrices with the fused VMEM kernel.
+
+    Mirrors the reference's FP32 pivoted Gauss-Jordan entry point
+    (``matrix_inversion_FP32.cpp:12``, kernel chain :17-226) with the whole
+    ``[A | I]`` system VMEM-resident and the r-loop inside ONE kernel —
+    versus the reference's 5 kernel launches + 3 host syncs per iteration
+    (``FP32_bench.cpp:342-405``). ``pivot=False`` is the
+    ``matrix_inversion_no_pivots.cpp:10`` variant.
 
     Returns ``(inverse, ok)``. Raises ``NotImplementedError`` for dtypes or
     sizes the fused path does not serve (callers fall back to the jnp spec
