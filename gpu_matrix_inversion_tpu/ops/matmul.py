@@ -35,11 +35,17 @@ def _matmul_kernel(a_ref, b_ref, o_ref, acc, *, k_steps: int):
     def _():
         acc[:, :] = jnp.zeros_like(acc)
 
-    # Explicit HIGHEST: the TPU default would round fp32 operands to bf16
-    # inside the kernel, defeating a VERIFICATION gemm's whole purpose.
+    # Precision by operand dtype (ADVICE r2): for fp32 operands HIGHEST —
+    # the TPU default would round them to bf16 inside the kernel, defeating
+    # a VERIFICATION gemm's whole purpose. For native bf16 operands DEFAULT —
+    # one bf16 MXU pass into the fp32 accumulator is already exact, and bf16
+    # operands with an fp32 contract precision fail to Mosaic-compile
+    # ("Bad lhs type"; same rule as ops/blocked.py's search dots).
+    prec = (jax.lax.Precision.DEFAULT if a_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     acc[:, :] += jnp.dot(a_ref[:, :], b_ref[:, :],
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=prec)
 
     @pl.when(k == k_steps - 1)
     def _():

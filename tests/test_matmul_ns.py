@@ -27,6 +27,22 @@ def test_pallas_matmul_square_aligned():
     np.testing.assert_allclose(out, a @ a, rtol=1e-4, atol=1e-2)
 
 
+def test_pallas_matmul_bf16_operands():
+    # ADVICE r2: the bf16 operand path must be exercised — its in-kernel dot
+    # takes the DEFAULT-precision branch (a HIGHEST contract on bf16 operands
+    # fails to Mosaic-compile on hardware). bf16 MXU passes accumulate in
+    # fp32, so against an fp32 reference only the input rounding shows up.
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((192, 160)).astype(np.float32)
+    b = rng.standard_normal((160, 128)).astype(np.float32)
+    import jax.numpy as jnp
+    out = np.asarray(pallas_matmul(jnp.asarray(a, jnp.bfloat16),
+                                   jnp.asarray(b, jnp.bfloat16), block=128),
+                     dtype=np.float32)
+    ref = a.astype(np.float32) @ b.astype(np.float32)
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.5)
+
+
 def test_pallas_matmul_rejects_bad_shapes():
     with pytest.raises(ValueError):
         pallas_matmul(np.zeros((3, 4), np.float32), np.zeros((5, 6), np.float32))

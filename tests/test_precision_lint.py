@@ -62,14 +62,13 @@ def _dot_offences(path: pathlib.Path):
             continue
         func = node.func
         if isinstance(func, ast.Attribute) and func.attr in DOT_NAMES:
+            # Resolve the BASE name of the dotted chain (ADVICE r2: matching
+            # the last attribute segment flagged host-side nested calls like
+            # np.linalg.tensordot via root='linalg').
             base = func.value
-            root = None
-            if isinstance(base, ast.Name):
-                root = base.id
-            elif isinstance(base, ast.Attribute) and isinstance(base.value,
-                                                                ast.Name):
-                root = base.attr
-            if root in EXEMPT_ROOTS:
+            while isinstance(base, ast.Attribute):
+                base = base.value
+            if isinstance(base, ast.Name) and base.id in EXEMPT_ROOTS:
                 continue
         elif isinstance(func, ast.Name) and func.id in DOT_NAMES:
             pass  # bare imported name: require precision= too
