@@ -19,6 +19,15 @@ Residual gates: the raw blocked path must meet the BASELINE <=1e-4
 relative-residual gate on its own; the reported gflops come from the raw
 (refine=0) time. The refined (default) path's time and residual are
 reported separately.
+
+Two flop models (VERDICT r2 #6): ``*_gflops_4n3`` uses the reference's
+4*N^3 fixColumn accounting (matrix_inversion_FP64.cpp:753-755) -- an
+*algorithmic* rate that can legitimately exceed the hardware matmul peak
+because the windowed slot layout schedules about half those MACs
+(Strassen-style accounting). ``*_gflops_effective`` divides the MACs the
+path actually issues (ops/blocked.effective_gemm_flops) by the same time:
+that is the hardware-utilization number and must stay below the measured
+~22 TF/s f32-HIGHEST matmul peak.
 """
 
 from __future__ import annotations
@@ -59,7 +68,8 @@ def _amortized(make_fn, a, k1: int = 1, k2: int = 5, reps: int = 2) -> tuple:
 
 def main() -> None:
     from gpu_matrix_inversion_tpu.ops.fused import fused_inverse
-    from gpu_matrix_inversion_tpu.ops.blocked import blocked_inverse
+    from gpu_matrix_inversion_tpu.ops.blocked import (blocked_inverse,
+                                                      effective_gemm_flops)
     from gpu_matrix_inversion_tpu.ops.lu import lu_inverse_fast
     from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
     from gpu_matrix_inversion_tpu.utils.residual import relative_residual
@@ -121,6 +131,7 @@ def main() -> None:
 
     t_lu, _ = _amortized(make_lu, a_big, 1, 3)
     gflops_raw = 4 * n_big**3 / t_raw / 1e9
+    gflops_raw_eff = effective_gemm_flops(n_big) / t_raw / 1e9
 
     # --- 16384^2 single-chip capacity point (VERDICT r1 #5) ----------------
     # At ~0.9 s of compute the ~26 ms dispatch floor is ~3%, so a plain
@@ -135,6 +146,7 @@ def main() -> None:
 
     t_huge = _bench(probe_huge, a_huge, reps=2)
     gflops_huge = 4 * n_huge**3 / t_huge / 1e9
+    gflops_huge_eff = effective_gemm_flops(n_huge) / t_huge / 1e9
     del a_huge
 
     # --- correctness gates (BASELINE: <=1e-4 rel residual) ------------------
@@ -160,8 +172,10 @@ def main() -> None:
         "blocked_4096_ms_refined_single_call": round(t_ref_single * 1e3, 1),
         "lu_getri_4096_ms": round(t_lu * 1e3, 1),
         "blocked_4096_gflops_4n3": round(gflops_raw, 1),
+        "blocked_4096_gflops_effective": round(gflops_raw_eff, 1),
         "blocked_16384_ms": round(t_huge * 1e3, 1),
         "blocked_16384_gflops_4n3": round(gflops_huge, 1),
+        "blocked_16384_gflops_effective": round(gflops_huge_eff, 1),
         "blocked_4096_residual_raw": float(f"{resid_raw:.3g}"),
         "blocked_4096_residual_refined": float(f"{resid_refined:.3g}"),
         "residual_128_fused": float(f"{resid:.3g}"),

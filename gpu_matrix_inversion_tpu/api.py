@@ -64,19 +64,24 @@ def matrix_inv_32(flat, order: int) -> np.ndarray:
     return _invert_flat(flat, order, np.float32, pivot=True)
 
 
-def matrix_inversion_fp32(flat, order: int, *, verbose: bool = False) -> np.ndarray:
+def matrix_inversion_fp32(flat, order: int, *, verbose: bool = False,
+                          strict_verify: bool | None = None) -> np.ndarray:
     """Reference ``matrix_inversion_FP32()`` (headers.h:8).
 
     ``verbose=True`` reproduces the reference's chatty single-shot path
     (device-capability dump at startup, per-phase timing report --
-    FP32.cpp:304-333, :711-723) on top of the same contract."""
+    FP32.cpp:304-333, :711-723) on top of the same contract -- including
+    its identity self-check (FP32.cpp:814-835), which the verbose path
+    always ran; pass ``strict_verify=False`` to skip it."""
     if not verbose:
         return _invert_flat(flat, order, np.float32, pivot=True)
     import json
     from gpu_matrix_inversion_tpu.utils.profiling import (
         device_info, print_phase_report)
     print("device:", json.dumps(device_info()))
-    res = _bench(flat, order, np.float32, pivot=True)
+    res = _bench(flat, order, np.float32, pivot=True,
+                 strict_verify=(True if strict_verify is None
+                                else strict_verify))
     print_phase_report(res, order)
     if not res.ok:
         return np.empty(0, dtype=np.float32)
@@ -98,7 +103,35 @@ def matrix_inversion_no_pivots(flat, order: int) -> np.ndarray:
     return _invert_flat(flat, order, np.float64, pivot=False)
 
 
-def _bench(flat, order: int, dtype, *, pivot: bool) -> Res:
+def identity_check_tolerance(order: int, dtype) -> float:
+    """Default gate for the strict identity self-check.
+
+    The reference's check is *exact* (left half == I elementwise,
+    ``matrix_inversion_FP32.cpp:814-835``) because its fixColumn zeroes the
+    pivot column identically; a blocked MXU algorithm cannot promise exact
+    zeros, so the promoted diagnostic gates max|A@X - I| at a few orders
+    above the rounding floor (~sqrt(n)*eps growth for a stable solve).
+    """
+    eps = float(np.finfo(dtype).eps)
+    return 1e3 * eps * float(order) ** 0.5
+
+
+def _strict_identity_error(a, inv) -> float:
+    """max elementwise |A @ X - I| computed on device (HIGHEST GEMM) --
+    the reference's identity self-check tier promoted to a quantitative
+    diagnostic (FP32.cpp:814-835; its de-facto singular detector)."""
+    @jax.jit
+    def err(a, inv):
+        n = a.shape[-1]
+        prod = jnp.matmul(a, inv, preferred_element_type=a.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
+        eye = jnp.eye(n, dtype=a.dtype)
+        return jnp.max(jnp.abs(prod - eye))
+    return float(err(a, inv))
+
+
+def _bench(flat, order: int, dtype, *, pivot: bool,
+           strict_verify: bool | None = None) -> Res:
     """Shared bench core: phase-timed inversion returning a ``Res``.
 
     Phase mapping from the reference's slots (``FP32_bench.cpp:256-443``):
@@ -106,7 +139,17 @@ def _bench(flat, order: int, dtype, *, pivot: bool) -> Res:
     make_augmented/pivot/row/column -> fused into total_compute (one XLA
     program replaces the reference's 5-kernel x N-iteration host loop);
     get_inverted -> readback.
+
+    ``strict_verify`` (or env ``MATINV_STRICT_VERIFY=1``) adds the
+    reference's identity self-check tier: max elementwise |A@X - I| on
+    device, recorded in ``Res.identity_error`` and gating ``ok`` at
+    :func:`identity_check_tolerance` -- the analog of the verbose paths
+    returning {} when the reduced left half is not exactly I
+    (FP32.cpp:814-835).
     """
+    import os
+    if strict_verify is None:
+        strict_verify = os.environ.get("MATINV_STRICT_VERIFY") == "1"
     timer = PhaseTimer()
     res = Res()
     mat = validate_flat_matrix(flat, order)
@@ -125,6 +168,11 @@ def _bench(flat, order: int, dtype, *, pivot: bool) -> Res:
         with timer.span("total_compute"):
             inv, ok = solver.inverse(a, pivot=pivot)
             jax.block_until_ready((inv, ok))
+        if strict_verify:
+            with timer.span("identity_check"):
+                res.identity_error = _strict_identity_error(a, inv)
+            ok = bool(ok) and (res.identity_error
+                               <= identity_check_tolerance(order, dtype))
         with timer.span("get_inverted"):
             out = np.asarray(inv).reshape(-1)
             res.ok = bool(ok)
@@ -150,23 +198,33 @@ def _bench(flat, order: int, dtype, *, pivot: bool) -> Res:
     return res
 
 
-def fp32_bench(flat, order: int) -> Res:
+def fp32_bench(flat, order: int, *, strict_verify: bool | None = None) -> Res:
     """Reference ``FP32_bench()`` (headers.h:13, FP32_bench.cpp:11)."""
-    return _bench(flat, order, np.float32, pivot=True)
+    return _bench(flat, order, np.float32, pivot=True,
+                  strict_verify=strict_verify)
 
 
-def fp64_bench(flat, order: int) -> Res:
+def fp64_bench(flat, order: int, *, strict_verify: bool | None = None) -> Res:
     """Reference ``FP64_bench()`` (headers.h:14, FP64_bench.cpp:11)."""
-    return _bench(flat, order, np.float64, pivot=True)
+    return _bench(flat, order, np.float64, pivot=True,
+                  strict_verify=strict_verify)
 
 
-def no_pivots_bench(flat, order: int) -> Res:
+def no_pivots_bench(flat, order: int, *,
+                    strict_verify: bool | None = None) -> Res:
     """Reference ``matrix_inversion_no_pivots_bench()`` (headers.h:15).
 
     (The reference declares this but ships an empty ``no_pivot_bench.cpp``;
-    SURVEY.md C10. Implemented for real here.)
+    SURVEY.md C10. Implemented for real here.) The crr/copy Res slots of
+    the orphaned no-pivot benchmark (``..._no_pivots_benchmark.cpp:492-495``)
+    are zero-filled: both stages are fused into the factor kernel on TPU
+    (see ``Res.times_vector``).
     """
-    return _bench(flat, order, np.float64, pivot=False)
+    res = _bench(flat, order, np.float64, pivot=False,
+                 strict_verify=strict_verify)
+    res.times.setdefault("crr", 0.0)
+    res.times.setdefault("copy", 0.0)
+    return res
 
 
 def matrix_multiply(inverse_flat, a_flat, order: int) -> float:

@@ -79,6 +79,13 @@ def measure_phases(n: int = 2048, *, block_size: int = 128, pivot: bool = True,
     def fake_inv(dblk, *, pivot, interpret):
         return jnp.eye(dblk.shape[-1], dtype=dblk.dtype), jnp.bool_(True)
 
+    def fake_factor(strip, kb, used, *, m, b, pivot, interpret):
+        # Round-3 fused path: search + block-inverse are ONE kernel, so the
+        # whole launch is stubbed under the "pivot" slot and the "row" slot
+        # reads ~0 (the scaled-row deposit rides the trailing GEMM).
+        return (kb + lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0],
+                jnp.zeros((b, m), strip.dtype), jnp.bool_(True))
+
     def make_probe(kk, *, stub_search=False, stub_inv=False):
         gj = functools.partial(
             B._blocked_gj, pivot=pivot, b=b, use_pallas=use_pallas,
@@ -100,6 +107,8 @@ def measure_phases(n: int = 2048, *, block_size: int = 128, pivot: bool = True,
             if stub_search:
                 st.enter_context(mock.patch.object(B, "_pivot_search",
                                                    fake_search))
+                st.enter_context(mock.patch.object(B, "_panel_factor",
+                                                   fake_factor))
             if stub_inv:
                 st.enter_context(mock.patch.object(B, "_invert_small",
                                                    fake_inv))

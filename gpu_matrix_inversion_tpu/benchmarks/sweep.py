@@ -78,16 +78,19 @@ def sweep_numpy(max_n: int, out, *, repeat: int = 1, skip=(), sizes=None):
 
 
 def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
-              dtype=np.float32, skip=(), sizes=None, amortize: int = 0):
+              dtype=np.float32, skip=(), sizes=None, amortize: int = 0,
+              strict_verify: bool = False):
     """C9/C13 parity: device sweep with Res-style phase timings per row.
 
     Row format: ``N t_buffers t_compile t_compute t_readback t_total
-    err_reference resid_normalized [t_amortized]`` -- the phase slots map
-    onto the reference's Res.times (FP32_bench.cpp:256-443; SURVEY.md
-    section 5). With ``amortize=k > 1`` a trailing column reports the
-    per-inversion time net of the ~26 ms tunnel dispatch floor (k
+    err_reference resid_normalized [t_amortized] [max|AX-I|]`` -- the phase
+    slots map onto the reference's Res.times (FP32_bench.cpp:256-443;
+    SURVEY.md section 5). With ``amortize=k > 1`` a trailing column reports
+    the per-inversion time net of the ~26 ms tunnel dispatch floor (k
     inversions inside one jitted scan, differenced against the single
     call); that is the honest steady-state compute time on this setup.
+    ``strict_verify`` appends the on-device max elementwise |A@X - I|
+    (the reference's identity self-check tier, FP32.cpp:814-835).
     """
     import jax
     import jax.numpy as jnp
@@ -159,6 +162,10 @@ def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
                 t_k = min(t_k, time.perf_counter() - t0)
             row += f" {max(t_k - t_compute, 0.0) / (k - 1):.6f}"
 
+        if strict_verify:
+            from gpu_matrix_inversion_tpu.api import _strict_identity_error
+            row += f" {_strict_identity_error(a, inv):.3e}"
+
         out.write(row + "\n")
         out.flush()
 
@@ -188,6 +195,9 @@ def main(argv=None):
                     help="if k > 1, append a per-inversion time amortized "
                          "over k in-jit runs (nets out the ~26 ms tunnel "
                          "dispatch floor; costs one extra compile per size)")
+    ap.add_argument("--strict-verify", action="store_true",
+                    help="append the on-device max|A@X - I| column (the "
+                         "reference's identity self-check, FP32.cpp:814-835)")
     args = ap.parse_args(argv)
 
     skip = _done_sizes(args.out) if args.resume else set()
@@ -204,7 +214,8 @@ def main(argv=None):
                 jax.config.update("jax_enable_x64", True)
             sweep_tpu(args.max_n, out, method=args.method,
                       repeat=args.repeat, dtype=dtype, skip=skip,
-                      sizes=sizes, amortize=args.amortize)
+                      sizes=sizes, amortize=args.amortize,
+                      strict_verify=args.strict_verify)
     finally:
         if out is not sys.stdout:
             out.close()

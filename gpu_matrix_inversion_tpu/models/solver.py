@@ -30,12 +30,32 @@ from gpu_matrix_inversion_tpu.ops.fused import FUSED_MAX_N
 METHODS = ("auto", "spec", "fused", "blocked", "lu", "sharded", "ns")
 
 _BLOCKED_MIN_N = 512
+# auto -> sharded capacity gate (VERDICT r2 #7): past ~32768^2 the fp32
+# slot-layout working set (8*m^2 bytes = 8.6 GB at 32768) crowds a single
+# 16 GB-HBM chip, and past 65536 the Pallas pivot search is gone entirely
+# (ops/blocked._select_block_params) -- so when a mesh is available, large
+# single matrices route to the panel-sharded path instead of warning and
+# falling to the slow jnp loop.
+SHARDED_AUTO_MIN_N = 32768
 
 
-def _resolve(method: str, a: jax.Array) -> str:
+def _mesh_available(mesh) -> bool:
+    if mesh is not None:
+        return True
+    try:
+        from gpu_matrix_inversion_tpu.parallel.mesh import (
+            default_platform_devices)
+        return len(default_platform_devices()) > 1
+    except RuntimeError:  # pragma: no cover - no backend at all
+        return False
+
+
+def _resolve(method: str, a: jax.Array, mesh=None) -> str:
     if method != "auto":
         return method
     n = a.shape[-1]
+    if a.ndim == 2 and n >= SHARDED_AUTO_MIN_N and _mesh_available(mesh):
+        return "sharded"
     fits_fused = (n <= FUSED_MAX_N
                   and a.dtype in (jnp.float32, jnp.bfloat16))
     if fits_fused and (a.ndim > 2 or n < _BLOCKED_MIN_N):
@@ -63,13 +83,17 @@ def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
     if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
         raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
 
-    resolved = _resolve(method, a)
+    resolved = _resolve(method, a, mesh)
 
     if resolved == "sharded":
         from gpu_matrix_inversion_tpu.parallel.sharded import (
             sharded_batched_inverse, sharded_blocked_inverse)
         kwargs = {} if block_size is None else {"block_size": block_size}
+        if precision is not None:
+            kwargs["precision"] = precision
         if a.ndim == 2:
+            if search_bf16 is not None:
+                kwargs["search_bf16"] = search_bf16
             return sharded_blocked_inverse(a, mesh=mesh, pivot=pivot,
                                            **kwargs)
         a3 = a.reshape((-1,) + a.shape[-2:])

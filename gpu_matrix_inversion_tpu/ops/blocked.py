@@ -64,9 +64,8 @@ _PRECISIONS = {
 # Pallas kernels
 # --------------------------------------------------------------------------
 
-def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
-                         w, probe, psel, *, m: int, b: int, sub: int,
-                         kmask: int, pivot: bool):
+def _panel_factor_kernel(kb_ref, stripT_ref, used_ref, *rest, m: int, b: int,
+                         sub: int, kmask: int, pivot: bool, emit_ct: bool):
     """Swap-free pivot search on the VMEM-resident TRANSPOSED (b, m) strip.
 
     Runs b Gauss-Jordan steps tracking a used-row mask instead of swapping
@@ -92,7 +91,26 @@ def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
     are never read for pivot selection). Per-step VPU work drops from
     (b, m) to (2*sub, m), which is what made the flat kernel the blocked
     path's second-largest cost after the trailing GEMMs.
+
+    ``emit_ct`` (round 3): additionally emit the FULL-PANEL composite
+    transform C^T (b, m) and a zero-pivot ok flag. C generalizes the
+    sub-panel probe across the whole panel: after sub-panel s, its
+    (probe - psel) rows are deposited into ct and every LATER sub-panel's
+    deferred update is applied to the already-deposited rows as well
+    (subtracting the one-hot early is sound -- later transforms act as
+    identity on e_p for used p, since e_p[pivrows'] = 0). The caller then
+    applies the whole panel to any columns X as X + C @ X[pivrows]: ONE
+    rank-b MXU GEMM that eliminates AND deposits the scaled pivot rows --
+    replacing both the separate (b, b) block-inverse kernel (the
+    reference's fixRow tier, matrix_inversion_FP32.cpp:150-164) and the
+    rank-2b [L-P|P] update with half the rank. This is the fusion of
+    maxPivot/finalMaxPivot + fixRow into one VMEM-resident kernel
+    (FP32.cpp:68-164).
     """
+    if emit_ct:
+        pivrows_ref, ct_ref, ok_ref, w, probe, psel = rest
+    else:
+        pivrows_ref, w, probe, psel = rest
     dt = w.dtype
     kb = kb_ref[0, 0]
     lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)   # strip-row ids
@@ -104,6 +122,7 @@ def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
                    keepdims=True)  # (1, m)
     pivrows_ref[:, :] = jnp.zeros((b, 1), jnp.int32)
     col = w[0:1, :]
+    ok = jnp.int32(1)
 
     for s in range(b // sub):  # static unroll; all slices static
         r0 = s * sub
@@ -114,7 +133,7 @@ def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
             # col (1, m) carried from the previous update pass (saves one
             # traversal); pivot chosen by a single packed-key max (|value|
             # bits + reversed row index for first-match ties) -- ops/fused.
-            used, col = carry
+            used, col, ok = carry
             ws = w[r0:r0 + sub, :]
             if pivot:
                 bits = lax.bitcast_convert_type(
@@ -149,6 +168,7 @@ def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
             piv = jnp.sum(jnp.where(rows_s == r2, pivcol_w,
                                     jnp.zeros_like(pivcol_w))
                           ).astype(jnp.float32)
+            ok = ok * (piv != 0).astype(jnp.int32)
             piv_safe = jnp.where(piv == 0, jnp.ones_like(piv),
                                  piv).astype(dt)
             norm_w = pivcol_w / piv_safe
@@ -163,40 +183,81 @@ def _pivot_search_kernel(kb_ref, stripT_ref, used_ref, pivrows_ref,
             col_next = jnp.sum(jnp.where(rows_s == r2 + 1, new_ws,
                                          jnp.zeros_like(new_ws)),
                                axis=0, keepdims=True)  # (1, m)
-            return used, col_next
+            return used, col_next, ok
 
-        used, col = lax.fori_loop(jnp.int32(0), jnp.int32(sub), step,
-                                  (used, col))
+        used, col, ok = lax.fori_loop(jnp.int32(0), jnp.int32(sub), step,
+                                      (used, col, ok))
 
+        # Precision by search dtype: the fp32 search needs explicit
+        # HIGHEST -- Mosaic's *default* f32 dot_general rounds the DATA
+        # operands to bf16 (a one-hot operand does not make it exact),
+        # which would put ~1e-3 of drift into the working set and
+        # defeat an exact partial-pivoting oracle (only the pivot
+        # CHOICE leaves this kernel; drift degrades pivot quality, not
+        # correctness). The bf16 search keeps native bf16 operands at
+        # DEFAULT: one bf16 MXU pass over bf16 data is already exact
+        # into the f32 accumulator, and bf16 operands with an fp32
+        # contract precision fail to compile ("Bad lhs type") -- this
+        # also preserves the half-VMEM footprint the m > 16384 gating
+        # was sized against.
+        prec = (lax.Precision.DEFAULT if dt == jnp.bfloat16
+                else lax.Precision.HIGHEST)
+        ct_l = probe[:, :] - psel[:, :]                    # (sub, m)
         if r0 + sub < b:
             # Deferred composite update of the later rows: (X^T)_new =
             # X^T + X^T[:, pivlanes] @ C^T with C^T = probe - psel, both
             # (sub, m); two MXU dots replace sub rank-1 passes per row.
             wl = w[r0 + sub:, :]                           # (bl, m)
-            # Precision by search dtype: the fp32 search needs explicit
-            # HIGHEST -- Mosaic's *default* f32 dot_general rounds the DATA
-            # operands to bf16 (a one-hot operand does not make it exact),
-            # which would put ~1e-3 of drift into the working set and
-            # defeat an exact partial-pivoting oracle (only the pivot
-            # CHOICE leaves this kernel; drift degrades pivot quality, not
-            # correctness). The bf16 search keeps native bf16 operands at
-            # DEFAULT: one bf16 MXU pass over bf16 data is already exact
-            # into the f32 accumulator, and bf16 operands with an fp32
-            # contract precision fail to compile ("Bad lhs type") -- this
-            # also preserves the half-VMEM footprint the m > 16384 gating
-            # was sized against.
-            prec = (lax.Precision.DEFAULT if dt == jnp.bfloat16
-                    else lax.Precision.HIGHEST)
             g = lax.dot_general(wl, psel[:, :], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
-            ct = probe[:, :] - psel[:, :]
-            upd = lax.dot_general(g.astype(dt), ct, (((1,), (0,)), ((), ())),
+            upd = lax.dot_general(g.astype(dt), ct_l,
+                                  (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32,
                                   precision=prec)
             new_wl = wl + upd.astype(dt)
             w[r0 + sub:, :] = new_wl
             col = new_wl[0:1, :]
+        if emit_ct:
+            if r0 > 0:
+                # The finished probe rows are working-set columns too: give
+                # them this sub-panel's deferred transform (same two dots).
+                ct0 = ct_ref[0:r0, :]
+                g0 = lax.dot_general(ct0, psel[:, :],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
+                upd0 = lax.dot_general(g0.astype(dt), ct_l,
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=prec)
+                ct_ref[0:r0, :] = ct0 + upd0.astype(dt)
+            ct_ref[r0:r0 + sub, :] = ct_l
+
+    if emit_ct:
+        # Finite probe (0*x sums to 0 iff every element is finite) folded
+        # into the zero-pivot flag, mirroring _small_inv_kernel.
+        fin = jnp.sum(ct_ref[:, :] * jnp.zeros((b, m), dt))
+        ok_ref[:, :] = jnp.broadcast_to(ok * (fin == 0).astype(jnp.int32),
+                                        (1, 1))
+
+
+def _factor_geometry(m: int, b: int):
+    """(sub, kmask) for the panel kernels.
+
+    sub=16 measured fastest at 4096 (sub=32: 17.3 ms, sub=16: 16.6 ms
+    amortized; the deferred dots' K=16 contraction is still fine on MXU).
+    sub must DIVIDE b -- the static sub-panel unroll covers exactly
+    (b // sub) * sub steps, so a non-divisor silently skips the last
+    b % sub pivots (caught by review at b = 40, 56, 120, ...).
+    """
+    sub = min(16, b)
+    while b % sub:
+        sub -= 1
+    kmask = 1
+    while kmask < m:
+        kmask = 2 * kmask
+    return sub, kmask - 1
 
 
 def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
@@ -208,19 +269,9 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
     (odd-shaped side inputs DMA-crash the TPU runtime). The caller updates
     the mask itself by scattering the returned pivot rows.
     """
-    # sub=16 measured fastest at 4096 (sub=32: 17.3 ms, sub=16: 16.6 ms
-    # amortized; the deferred dots' K=16 contraction is still fine on MXU).
-    # sub must DIVIDE b -- the static sub-panel unroll covers exactly
-    # (b // sub) * sub steps, so a non-divisor silently skips the last
-    # b % sub pivots (caught by review at b = 40, 56, 120, ...).
-    sub = min(16, b)
-    while b % sub:
-        sub -= 1
-    kmask = 1
-    while kmask < m:
-        kmask = 2 * kmask
-    kernel = functools.partial(_pivot_search_kernel, m=m, b=b, sub=sub,
-                               kmask=kmask - 1, pivot=pivot)
+    sub, kmask = _factor_geometry(m, b)
+    kernel = functools.partial(_panel_factor_kernel, m=m, b=b, sub=sub,
+                               kmask=kmask, pivot=pivot, emit_ct=False)
     kb_arr = jnp.reshape(kb.astype(jnp.int32), (1, 1))
     used_tile = jnp.broadcast_to(
         jnp.swapaxes(used.astype(strip.dtype), -1, -2), (8, m))
@@ -239,6 +290,43 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
         interpret=interpret,
     )(kb_arr, jnp.swapaxes(strip, -1, -2), used_tile)
     return pivrows[:, 0]
+
+
+def _panel_factor(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
+                  m: int, b: int, pivot: bool, interpret: bool):
+    """Fused panel factorization; returns ``(pivrows (b,), ct (b, m), ok)``.
+
+    One kernel launch produces the pivot rows AND the full-panel composite
+    transform C^T, fusing the reference's maxPivot/finalMaxPivot search
+    with its fixRow normalization tier (``matrix_inversion_FP32.cpp:68-164``)
+    so the caller's whole panel application is a single rank-b GEMM
+    (X + C @ X[pivrows]) instead of search + (b, b) inverse + rank-2b GEMM.
+    """
+    sub, kmask = _factor_geometry(m, b)
+    kernel = functools.partial(_panel_factor_kernel, m=m, b=b, sub=sub,
+                               kmask=kmask, pivot=pivot, emit_ct=True)
+    kb_arr = jnp.reshape(kb.astype(jnp.int32), (1, 1))
+    used_tile = jnp.broadcast_to(
+        jnp.swapaxes(used.astype(strip.dtype), -1, -2), (8, m))
+    pivrows, ct, ok = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((b, m), strip.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((b, m), strip.dtype),
+                        pltpu.VMEM((sub, m), strip.dtype),
+                        pltpu.VMEM((sub, m), strip.dtype)],
+        interpret=interpret,
+    )(kb_arr, jnp.swapaxes(strip, -1, -2), used_tile)
+    return pivrows[:, 0], ct, ok[0, 0] > 0
 
 
 def _small_inv_kernel(a_ref, inv_ref, ok_ref, aug, *, b: int, pivot: bool):
@@ -312,6 +400,106 @@ def _panel_pivots_logical(strip: jax.Array, used: jax.Array, kb, *, m: int,
     _, used, pivrows, ok = lax.fori_loop(
         0, b, step, (strip, used, pivrows0, jnp.bool_(True)))
     return pivrows, used, ok
+
+
+# --------------------------------------------------------------------------
+# Shared panel/group factorization (single-chip blocked driver AND the
+# per-device body of parallel/sharded.py)
+# --------------------------------------------------------------------------
+
+
+def _factor_panel(strip, kb, used, *, m: int, b: int, dtype, pivot: bool,
+                  use_pallas: bool, interpret: bool, search_bf16: bool,
+                  emit: bool):
+    """Panel pivot rows + composite transform (as C^T, (b, m)).
+
+    The panel's whole effect on any working-set columns X is
+    ``X + C @ X[pivrows]`` -- one rank-b GEMM that eliminates AND deposits
+    the scaled pivot rows (replacing the round-2 rank-2b [L-P | P] form).
+    On the fused path C^T comes straight from the kernel; otherwise it is
+    assembled from the (b, b) block inverse:
+    C = (E - L_masked) @ D^-1 - E (algebraically identical to the rank-2b
+    update, one (m,b)x(b,b) GEMM). Returns ``(pivrows, ct, ok)``.
+    """
+    if emit:
+        return _panel_factor(strip, kb, used, m=m, b=b, pivot=pivot,
+                             interpret=interpret)
+    if use_pallas:
+        if not pivot:
+            # No-pivot rows are the deterministic kb..kb+b-1; launching
+            # the search kernel (the path's second-largest cost) just to
+            # compute that wastes nearly the pivoted path's full search
+            # time. ok comes solely from _invert_small here, as before.
+            pivrows = kb + lax.broadcasted_iota(jnp.int32, (b,), 0)
+        else:
+            search = strip.astype(jnp.bfloat16) if search_bf16 else strip
+            pivrows = _pivot_search(search, kb, used, m=m, b=b,
+                                    pivot=pivot, interpret=interpret)
+        dblk = jnp.take(strip, pivrows, axis=0)
+        dinv, ok_f = _invert_small(dblk, pivot=pivot, interpret=interpret)
+    else:
+        pivrows, _, ok_p = _panel_pivots_logical(strip, used, kb, m=m,
+                                                 b=b, pivot=pivot)
+        dblk = jnp.take(strip, pivrows, axis=0)
+        dinv, ok_d = _gauss_jordan_aug(dblk, pivot=pivot)
+        ok_f = jnp.logical_and(ok_p, ok_d)
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    psel = (rows == pivrows[None, :]).astype(dtype)   # (m, b)
+    rowmask = jnp.sum(psel, axis=1, keepdims=True)
+    cmat = jnp.matmul(psel - strip * (1 - rowmask), dinv,
+                      preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST) - psel
+    return pivrows, jnp.swapaxes(cmat, -1, -2), ok_f
+
+
+def _group_factor(og, kb0, used, *, gsize: int, gw: int, m: int, b: int,
+                  dtype, pivot: bool, use_pallas: bool, interpret: bool,
+                  precision, search_bf16: bool, emit: bool):
+    """Factor ``gsize`` consecutive panels on the [O | G] working set.
+
+    ``og`` is (m, 2*gw): the group's outer strip O followed by the
+    (initially zero) identity-probe columns G. After the loop,
+    ``og[:, gw:] - E^T`` is the group's composite column transform (see
+    ``_blocked_gj``). Shared verbatim by the single-chip driver and the
+    replicated per-device factorization of ``parallel/sharded.py`` -- the
+    mesh generalization of the reference's two-stage argmax
+    (``matrix_inversion_FP32.cpp:68-142``).
+
+    Returns ``(og, pivtot (gw,), used, ok)``.
+    """
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    pivtot = jnp.zeros((gw,), jnp.int32)
+    ok = jnp.bool_(True)
+    for i in range(gsize):  # static unroll; all slices static
+        ib = i * b
+        strip = og[:, ib:ib + b]
+        pivrows, ct, ok_f = _factor_panel(
+            strip, kb0 + ib, used, m=m, b=b, dtype=dtype, pivot=pivot,
+            use_pallas=use_pallas, interpret=interpret,
+            search_bf16=search_bf16, emit=emit)
+        ok = jnp.logical_and(ok, ok_f)
+        pivtot = lax.dynamic_update_slice(pivtot, pivrows, (np.int32(ib),))
+
+        psel = (rows == pivrows[None, :]).astype(dtype)   # (m, b)
+        rowmask = jnp.sum(psel, axis=1, keepdims=True)
+        used = used + rowmask.astype(jnp.float32)
+        # Inject this panel's identity probe columns BEFORE its own
+        # update (prior transforms act as identity on them).
+        og = og.at[:, gw + ib:gw + ib + b].set(psel)
+
+        # Windowed internal update: O columns before this panel are
+        # finished (frozen, same argument as the outer window) and G
+        # probes beyond this panel are still zero, so the live columns
+        # are exactly og[:, ib : gw+ib+b] -- a static slice here since
+        # the group loop is unrolled. One rank-b GEMM (ct^T contracted
+        # on its row axis) eliminates AND deposits the scaled rows.
+        og_win = og[:, ib:gw + ib + b]                    # (m, gw+b)
+        block_rows = jnp.take(og_win, pivrows, axis=0)    # (b, gw+b)
+        og = og.at[:, ib:gw + ib + b].set(
+            og_win + lax.dot_general(
+                ct, block_rows, (((0,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=precision))
+    return og, pivtot, used, ok
 
 
 # --------------------------------------------------------------------------
@@ -410,29 +598,15 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     num_groups = num_panels // group
     tail = num_panels - num_groups * group
 
-    def factor(strip, kb, used):
-        """Panel pivot rows + full-precision pivot-block inverse."""
-        if use_pallas:
-            if not pivot:
-                # No-pivot rows are the deterministic kb..kb+b-1; launching
-                # the search kernel (the path's second-largest cost) just to
-                # compute that wastes nearly the pivoted path's full search
-                # time. ok comes solely from _invert_small here, as before.
-                pivrows = kb + lax.broadcasted_iota(jnp.int32, (b,), 0)
-            else:
-                search = strip.astype(jnp.bfloat16) if search_bf16 else strip
-                pivrows = _pivot_search(search, kb, used, m=m, b=b,
-                                        pivot=pivot, interpret=interpret)
-            dblk = jnp.take(strip, pivrows, axis=0)
-            dinv, ok_f = _invert_small(dblk, pivot=pivot,
-                                       interpret=interpret)
-        else:
-            pivrows, _, ok_p = _panel_pivots_logical(strip, used, kb, m=m,
-                                                     b=b, pivot=pivot)
-            dblk = jnp.take(strip, pivrows, axis=0)
-            dinv, ok_d = _gauss_jordan_aug(dblk, pivot=pivot)
-            ok_f = jnp.logical_and(ok_p, ok_d)
-        return pivrows, dinv, ok_f
+    # Fused factor kernel (round 3): VMEM holds 3 (b, m) buffers (strip in,
+    # working copy, C^T out) plus probes, which fits b=128 to m <= 8192 --
+    # exactly the fp32-search regime. Larger m keeps the split
+    # search + small-inverse path whose gating was sized for 2 buffers.
+    emit = use_pallas and not search_bf16 and m <= 8192
+    group_factor = functools.partial(
+        _group_factor, m=m, b=b, dtype=dtype, pivot=pivot,
+        use_pallas=use_pallas, interpret=interpret, precision=precision,
+        search_bf16=search_bf16, emit=emit)
 
     def run_group(kb0, carry, gsize, gw):
         """Factor ``gsize`` consecutive panels starting at column ``kb0``
@@ -441,40 +615,10 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
         og = jnp.concatenate(
             [lax.dynamic_slice(aug, (_i0, kb0), (m, gw)),
              jnp.zeros((m, gw), dtype)], axis=1)  # [O | G]
-        pivtot = jnp.zeros((gw,), jnp.int32)
-
-        for i in range(gsize):  # static unroll; all slices static
-            ib = i * b
-            strip = og[:, ib:ib + b]
-            pivrows, dinv, ok_f = factor(strip, kb0 + ib, used)
-            ok = jnp.logical_and(ok, ok_f)
-            pos = lax.dynamic_update_slice(pos, pivrows, (kb0 + ib,))
-            pivtot = lax.dynamic_update_slice(pivtot, pivrows,
-                                              (np.int32(ib),))
-
-            psel = (rows == pivrows[None, :]).astype(dtype)   # (m, b)
-            rowmask = jnp.sum(psel, axis=1, keepdims=True)
-            used = used + rowmask.astype(jnp.float32)
-            # Inject this panel's identity probe columns BEFORE its own
-            # update (prior transforms act as identity on them).
-            og = og.at[:, gw + ib:gw + ib + b].set(psel)
-
-            # Windowed internal update: O columns before this panel are
-            # finished (frozen, same argument as the outer window) and G
-            # probes beyond this panel are still zero, so the live columns
-            # are exactly og[:, ib : gw+ib+b] -- a static slice here since
-            # the group loop is unrolled.
-            og_win = og[:, ib:gw + ib + b]                    # (m, gw+b)
-            block_rows = jnp.take(og_win, pivrows, axis=0)    # (b, gw+b)
-            s = jnp.matmul(dinv, block_rows,
-                           preferred_element_type=dtype,
-                           precision=precision)
-            l_masked = strip * (1 - rowmask)
-            l3 = jnp.concatenate([l_masked - psel, psel], axis=1)
-            s3 = jnp.concatenate([s, block_rows], axis=0)
-            og = og.at[:, ib:gw + ib + b].set(
-                og_win - jnp.matmul(l3, s3, preferred_element_type=dtype,
-                                    precision=precision))
+        og, pivtot, used, ok_g = group_factor(og, kb0, used, gsize=gsize,
+                                              gw=gw)
+        ok = jnp.logical_and(ok, ok_g)
+        pos = lax.dynamic_update_slice(pos, pivtot, (kb0,))
 
         # Composite transform: C = G_final - E^T, applied to the live
         # window [kb0+gw, m+kb0) in one rank-gw GEMM. The group's own left
@@ -540,6 +684,48 @@ def _blocked_inverse_jit(a: jax.Array, *, pivot: bool, block_size: int,
         inv = newton_schulz_refine(a, inv, iters=refine)
         ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(inv), axis=(-2, -1)))
     return inv, ok
+
+
+def effective_gemm_flops(n: int, *, block_size: int = DEFAULT_BLOCK_SIZE,
+                         search_bf16: bool = False,
+                         group_size: int | None = None,
+                         dtype=jnp.float32) -> int:
+    """Flops the windowed blocked algorithm ACTUALLY schedules for one
+    inversion (VERDICT r2 weak #6 / next #6).
+
+    The reference's 4*N^3 model (``matrix_inversion_FP64.cpp:753-755``)
+    counts the classic full-width [A | I] elimination; the windowed
+    pivot-order slot layout deliberately touches about HALF those columns
+    (see ``_blocked_gj``), so a "TFLOP/s" on the 4N^3 model is an
+    *algorithmic* rate (Strassen-style accounting) that can legitimately
+    exceed the hardware matmul peak. This helper counts the MXU GEMMs the
+    path really issues -- outer composite, internal panel updates, and the
+    in-kernel deferred dots -- so utilization can be reported honestly
+    alongside the reference-model rate (bench.py's
+    ``blocked_*_gflops_effective`` / ``*_mfu`` fields).
+    """
+    b, _, search_bf16 = _select_block_params(n, block_size, dtype,
+                                             search_bf16)
+    if group_size is None:
+        group_size = max(4, 1024 // min(b, 128))
+    m = max(_round_up(n, b), b)
+    num_panels = m // b
+    group = max(1, min(group_size, num_panels))
+    num_groups = num_panels // group
+    tail = num_panels - num_groups * group
+    sub = min(16, b)
+    while b % sub:
+        sub -= 1
+    fl = 0
+    for gsize in [group] * num_groups + ([tail] if tail else []):
+        gw = gsize * b
+        fl += 2 * m * gw * (m - gw)        # outer composite rank-gw GEMM
+        fl += gsize * 2 * m * b * (gw + b)  # internal rank-b panel updates
+        # In-kernel deferred dots: per sub-panel two (rows x sub x m)
+        # contractions over ~b rows total (later strip rows + finished
+        # probe rows), (b/sub) sub-panels per panel.
+        fl += gsize * (b // sub) * 2 * (2 * b * sub * m)
+    return fl
 
 
 def blocked_inverse(a: jax.Array, *, pivot: bool = True,

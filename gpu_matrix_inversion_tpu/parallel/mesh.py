@@ -15,6 +15,20 @@ import jax
 from jax.sharding import Mesh
 
 
+def default_platform_devices():
+    """Devices of the platform computations land on by default.
+
+    Honors a pinned ``jax_default_device`` -- under the axon TPU tunnel
+    ``JAX_PLATFORMS=cpu`` is ignored (CLAUDE.md hazard #1), so the pinned
+    device's platform, not the global default list, decides where implicit
+    meshes are built.
+    """
+    default = getattr(jax.config, "jax_default_device", None)
+    if default is not None:
+        return jax.devices(default.platform)
+    return jax.devices()
+
+
 def make_device_mesh(shape: Sequence[int] | int,
                      axis_names: Tuple[str, ...] = ("x",),
                      platform: Optional[str] = None) -> Mesh:
@@ -34,7 +48,7 @@ def make_device_mesh(shape: Sequence[int] | int,
     if platform is not None:
         devices = jax.devices(platform)
     else:
-        devices = jax.devices()
+        devices = default_platform_devices()
         if len(devices) < n:
             # Fall back to the (virtual) CPU backend, which can expose more
             # devices than the default platform via XLA_FLAGS.

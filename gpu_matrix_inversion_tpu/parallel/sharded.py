@@ -2,24 +2,33 @@
 
 BASELINE.md configs[4]: invert N x N for N beyond single-chip HBM by
 column-sharding the augmented (m, 2m) system over a mesh axis. SPMD design
-(via ``shard_map``), one collective per panel:
+(via ``shard_map``) with ONE collective per panel *group*:
 
-1. *Panel gather*: the (m, b) pivot-panel strip lives on one shard; a single
-   ``psum`` of a masked slice broadcasts it to every device (the TPU analog
-   of the reference's pivot-row broadcast; on hardware this rides ICI).
-2. *Replicated swap-free pivot search*: every device runs the strip
-   factorization redundantly (identical data -> identical pivots; dedupes
-   control flow, no divergence, no index exchange) -- the mesh-scale
-   generalization of the reference's two-stage workgroup argmax
-   (FP32.cpp:68-142).
-3. *Local update*: rows never move (logical permutation; the final reorder
-   is a purely local gather under column sharding). Each device computes
-   S_loc = D^-1 @ block_rows_loc and one rank-2b trailing GEMM on its own
-   column shard that both eliminates and deposits the scaled pivot rows.
+1. *Group gather*: the (m, gw) outer strip of the next ``group`` panels is
+   assembled from its owner shard(s) by a single masked-gather ``psum``
+   (the TPU analog of the reference's pivot-row broadcast; on hardware this
+   rides ICI). gw = group*b columns per collective instead of b: same total
+   bytes (m^2 for the whole inversion), group-times fewer messages.
+2. *Replicated group factorization*: every device runs the SAME
+   ``ops/blocked._group_factor`` the single-chip path uses -- windowed
+   pivot-order slot layout, composite panel transforms from the fused
+   Pallas factor kernel (jnp fallback for CPU meshes / fp64), per-panel
+   rank-b internal updates (identical data -> identical pivots; no index
+   exchange, no divergence). This is the round-3 port of the single-chip
+   redesign (VERDICT r2 #1); the mesh-scale generalization of the
+   reference's two-stage workgroup argmax (FP32.cpp:68-142).
+3. *Local windowed update*: each device applies the group's composite
+   column transform C (m, gw) to its own column shard in one rank-gw MXU
+   GEMM -- and SKIPS the GEMM entirely when none of its columns intersect
+   the live window [kb0+gw, m+kb0) (out-of-window columns receive provably
+   zero updates: finished left columns are zero at this group's pivot rows,
+   future slot columns are still zero). The skip recovers the windowed
+   layout's ~2x MAC saving on average across the mesh.
 
-Comm volume: one (m, b) psum per panel = m^2 floats total for the whole
+Comm volume: one (m, gw) psum per group = m^2 floats total for the whole
 inversion -- a 16384^2 FP32 inversion moves ~1 GB over ICI, far below the
-compute time of its 4*N^3 = 17.6 PFLOP.
+compute time of its 4*N^3 = 17.6 PFLOP -- plus one column permutation
+(all-to-all) undoing the slot layout at the end.
 
 The batched variant shards batch over a ``dp`` mesh axis and columns over
 ``tp`` (2D mesh), i.e. data-parallel x tensor-parallel.
@@ -36,9 +45,11 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gpu_matrix_inversion_tpu.ops.gauss_jordan import _gauss_jordan_aug, _i0
-from gpu_matrix_inversion_tpu.ops.blocked import (_panel_pivots_logical,
-                                                  _round_up)
+from gpu_matrix_inversion_tpu.ops.gauss_jordan import _i0
+from gpu_matrix_inversion_tpu.ops.blocked import (_PRECISIONS, _group_factor,
+                                                  _round_up,
+                                                  _select_block_params)
+from gpu_matrix_inversion_tpu.ops.fused import _is_tpu_device
 from gpu_matrix_inversion_tpu.parallel.mesh import make_device_mesh
 
 try:  # jax >= 0.6 exposes shard_map at top level
@@ -47,103 +58,184 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, pivot: bool,
-              axis: str):
-    """Per-device body: aug_loc is the (m, w) local column shard.
+def _mesh_is_tpu(mesh: Mesh) -> bool:
+    return all(_is_tpu_device(d) for d in np.ravel(mesh.devices))
 
-    Logical permutation (see ops/blocked.py): rows never move, a replicated
-    used-row mask keeps the pivot search honest, the panel's row placement
-    is folded into the rank-2b trailing GEMM, and the caller reorders the
-    inverse rows once at the end (a purely local gather under column
-    sharding). Per panel the ONLY communication is the one strip psum.
+
+def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
+              pivot: bool, axis: str, use_pallas: bool, search_bf16: bool,
+              precision):
+    """Per-device body: ``aug_loc`` is the (m, w) local column shard of the
+    (m, 2m) slot-layout working set [A | slots].
+
+    Same logical-permutation + windowed slot layout as the single-chip
+    ``ops/blocked._blocked_gj`` (rows never move; slots deposit composite
+    columns in pivot order; one global gather at the end restores order).
+    The group factorization is the shared ``_group_factor``; only the
+    strip gather, the deposit scatter, and the window-overlap skip are
+    mesh-specific. Per group the ONLY communication is the one strip psum.
     """
     dtype = aug_loc.dtype
     my = lax.axis_index(axis).astype(jnp.int32)
     rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    lane_w = lax.broadcasted_iota(jnp.int32, (1, w), 1)  # my local columns
     num_panels = m // b
+    ngroups = num_panels // group
+    tail = num_panels - ngroups * group
+    emit = use_pallas and not search_bf16 and m <= 8192
+    group_factor = functools.partial(
+        _group_factor, m=m, b=b, dtype=dtype, pivot=pivot,
+        use_pallas=use_pallas, interpret=False, precision=precision,
+        search_bf16=search_bf16, emit=emit)
 
-    def panel_step(k, carry):
+    def run_group(kb0, carry, gsize, gw):
         aug_loc, used, pos, ok = carry
-        kb = k.astype(jnp.int32) * b
-        owner = kb // w
 
-        # 1. Panel gather: one psum broadcasts the (m, b) strip from its
-        # owner shard to everyone (pivot-panel broadcast over ICI).
-        off = jnp.clip(kb - my * w, 0, w - b)
-        cand = lax.dynamic_slice(aug_loc, (_i0, off), (m, b))
-        strip = lax.psum(jnp.where(my == owner, cand, jnp.zeros_like(cand)),
-                         axis)
+        # 1. Group gather: global columns [kb0, kb0+gw) live on one or two
+        # shards; a clipped local gather masked by ownership, psum'd, lands
+        # the (m, gw) outer strip on every device (robust to any alignment,
+        # so gw never needs to divide the shard width).
+        idx = kb0 + lax.broadcasted_iota(jnp.int32, (1, gw), 1) - my * w
+        own = jnp.logical_and(idx >= 0, idx < w).astype(dtype)  # (1, gw)
+        cand = jnp.take(aug_loc, jnp.clip(idx[0], 0, w - 1), axis=1)
+        o_strip = lax.psum(cand * own, axis)
 
-        # 2. Replicated swap-free pivot search (identical inputs on every
-        # device -> identical pivots, no index exchange).
-        pivrows, used, ok_p = _panel_pivots_logical(strip, used, kb, m=m,
-                                                    b=b, pivot=pivot)
-        pos = lax.dynamic_update_slice(pos, pivrows, (kb,))
-        dblk = jnp.take(strip, pivrows, axis=0)
-        dinv, ok_d = _gauss_jordan_aug(dblk, pivot=pivot)
+        # 2. Replicated factorization on [O | G] (identical inputs on every
+        # device -> identical pivots/composites, no index exchange).
+        og = jnp.concatenate([o_strip, jnp.zeros((m, gw), dtype)], axis=1)
+        og, pivtot, used, ok_g = group_factor(og, kb0, used, gsize=gsize,
+                                              gw=gw)
+        ok = jnp.logical_and(ok, ok_g)
+        pos = lax.dynamic_update_slice(pos, pivtot, (kb0,))
 
-        # 3. Local block elimination: one rank-2b GEMM eliminates and
-        # deposits the scaled pivot rows (ops/blocked.py's [L-P | P] trick).
-        block_rows = jnp.take(aug_loc, pivrows, axis=0)  # (b, w) local
-        s_loc = jnp.matmul(dinv, block_rows, preferred_element_type=dtype,
-                           precision=jax.lax.Precision.HIGHEST)
-        psel = (rows == pivrows[None, :]).astype(dtype)   # (m, b)
-        rowmask = jnp.sum(psel, axis=1, keepdims=True)
-        l_masked = strip * (1 - rowmask.astype(strip.dtype))
-        l3 = jnp.concatenate([l_masked.astype(dtype) - psel, psel], axis=1)
-        s3 = jnp.concatenate([s_loc, block_rows], axis=0)
-        aug_loc = aug_loc - jnp.matmul(l3, s3, preferred_element_type=dtype,
-                                       precision=jax.lax.Precision.HIGHEST)
-        return aug_loc, used, pos, jnp.logical_and(
-            ok, jnp.logical_and(ok_p, ok_d))
+        # 3. Local windowed composite update: C = G_final - E^T applied to
+        # my shard in one rank-gw GEMM, skipped when my columns miss the
+        # live window [kb0+gw, m+kb0) entirely (zero update there: finished
+        # left columns are zero at this group's pivot rows, future slots
+        # are still zero -- so the full-shard GEMM is exact, just wasted,
+        # on the at-most-two boundary shards).
+        etot = (rows == pivtot[None, :]).astype(dtype)        # (m, gw)
+        c = og[:, gw:] - etot
+        lo = kb0 + gw
+        hi = np.int32(m) + kb0
+
+        def do_update(aug_loc):
+            xp = jnp.take(aug_loc, pivtot, axis=0)            # (gw, w)
+            return aug_loc + lax.dot_general(
+                c, xp, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=precision)
+
+        has = jnp.logical_and(my * w < hi, my * w + w > lo)
+        aug_loc = lax.cond(has, do_update, lambda x: x, aug_loc)
+
+        # 4. Deposits: the group's own columns get the finished O, its slot
+        # columns [m+kb0, m+kb0+gw) get G -- local gathers selected by
+        # global column index (handles shard-straddling groups).
+        jg = my * w + lane_w                                   # (1, w)
+        sel_o = jnp.logical_and(jg >= kb0, jg < kb0 + gw)
+        sel_g = jnp.logical_and(jg >= np.int32(m) + kb0,
+                                jg < np.int32(m) + kb0 + gw)
+        src_o = jnp.take(og[:, :gw], jnp.clip(jg[0] - kb0, 0, gw - 1),
+                         axis=1)
+        src_g = jnp.take(og[:, gw:],
+                         jnp.clip(jg[0] - np.int32(m) - kb0, 0, gw - 1),
+                         axis=1)
+        aug_loc = jnp.where(sel_o, src_o, jnp.where(sel_g, src_g, aug_loc))
+        return aug_loc, used, pos, ok
+
+    def group_step(kk, carry):
+        kb0 = kk.astype(jnp.int32) * (group * b)
+        return run_group(kb0, carry, group, group * b)
 
     used0 = jnp.zeros((m, 1), jnp.float32)
     pos0 = lax.broadcasted_iota(jnp.int32, (m,), 0)
-    aug_loc, _, pos, ok = lax.fori_loop(
-        0, num_panels, panel_step, (aug_loc, used0, pos0, jnp.bool_(True)))
-    # Restore row order (local gather: rows are unsharded).
-    aug_loc = jnp.take(aug_loc, pos, axis=0)
-    return aug_loc, ok.reshape(1)
+    carry = lax.fori_loop(0, ngroups, group_step,
+                          (aug_loc, used0, pos0, jnp.bool_(True)))
+    if tail:
+        carry = run_group(jnp.int32(ngroups * group * b), carry,
+                          tail, tail * b)
+    aug_loc, _, pos, ok = carry
+    return aug_loc, pos, ok.reshape(1)
 
 
-def _build_aug(a: jax.Array, m: int) -> jax.Array:
-    """Pad to blockdiag(A, I) and augment with I (see ops/blocked.py)."""
+def _build_aug_slots(a: jax.Array, m: int) -> jax.Array:
+    """Pad to blockdiag(A, I) and append the ZERO slot half (the windowed
+    slot layout of ops/blocked.py -- not the classic [A | I])."""
     n = a.shape[-1]
     dtype = a.dtype
     if m != n:
         apad = jnp.eye(m, dtype=dtype)
         apad = lax.dynamic_update_slice(apad, a, (0, 0))
         a = apad
-    return jnp.concatenate([a, jnp.eye(m, dtype=dtype)], axis=-1)
+    return jnp.concatenate([a, jnp.zeros((m, m), dtype=dtype)], axis=-1)
+
+
+def _unpermute(aug_out, pos, m: int, n: int):
+    """Slot half -> inverse: columns by the inverse permutation of pos,
+    rows by pos (see ops/blocked.py). Under column sharding the column
+    gather is a mesh permutation; XLA lowers it to collectives."""
+    slots = lax.dynamic_slice(aug_out, (_i0, np.int32(m)), (m, m))
+    invpos = jnp.zeros((m,), jnp.int32).at[pos].set(
+        lax.broadcasted_iota(jnp.int32, (m,), 0))
+    return jnp.take(jnp.take(slots, invpos, axis=1), pos, axis=0)[:n, :n]
+
+
+def _sharded_params(n: int, block_size: int, d: int, dtype,
+                    search_bf16: bool, group_size):
+    """Geometry for the sharded path: reuse the single-chip VMEM gating
+    (every device runs the same factor kernels over the full m rows), then
+    round m so panels tile the shard width (w = 2m/d, b | w)."""
+    b, use_pallas, search_bf16 = _select_block_params(
+        n, block_size, dtype, search_bf16)
+    m = _round_up(n, b * d)
+    if group_size is None:
+        group_size = max(4, 1024 // min(b, 128))
+    group = max(1, min(group_size, m // b))
+    return b, m, group, use_pallas, search_bf16
 
 
 def sharded_blocked_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
-                            block_size: int = 256, pivot: bool = True,
-                            axis: str = "x"):
+                            block_size: int = 128, pivot: bool = True,
+                            axis: str = "x", precision: str = "highest",
+                            search_bf16: bool = False,
+                            group_size: int | None = None,
+                            refine: int = 0):
     """Invert a single (n, n) matrix column-sharded over ``mesh[axis]``.
 
-    Returns ``(inverse, ok)`` like the single-chip paths.
+    Returns ``(inverse, ok)`` like the single-chip paths. ``refine`` adds
+    Newton-Schulz polish steps computed as global (sharded) GEMMs.
     """
     if mesh is None:
-        mesh = make_device_mesh(len(jax.devices()), (axis,))
+        from gpu_matrix_inversion_tpu.parallel.mesh import (
+            default_platform_devices)
+        mesh = make_device_mesh(len(default_platform_devices()), (axis,))
     d = mesh.shape[axis]
     n = a.shape[-1]
-    b = min(block_size, max(_round_up(n, 8), 8))
-    # W = 2m/D must be a multiple of b so panels never straddle shards.
-    m = _round_up(n, b * d)
+    use_pallas_hw = _mesh_is_tpu(mesh)
+    b, m, group, use_pallas, search_bf16 = _sharded_params(
+        n, block_size, d, a.dtype, search_bf16, group_size)
+    use_pallas = use_pallas and use_pallas_hw
     w = 2 * m // d
 
-    local = functools.partial(_local_gj, m=m, b=b, w=w, pivot=pivot,
-                              axis=axis)
+    local = functools.partial(_local_gj, m=m, b=b, w=w, group=group,
+                              pivot=pivot, axis=axis, use_pallas=use_pallas,
+                              search_bf16=search_bf16,
+                              precision=_PRECISIONS[precision])
     fn = shard_map(local, mesh=mesh, in_specs=P(None, axis),
-                   out_specs=(P(None, axis), P(axis)), check_vma=False)
+                   out_specs=(P(None, axis), P(None), P(axis)),
+                   check_vma=False)
 
     @jax.jit
     def run(a):
-        aug = _build_aug(a, m)
-        aug_out, ok = fn(aug)
-        inv = lax.dynamic_slice(aug_out, (_i0, np.int32(m)), (m, m))[:n, :n]
+        aug = _build_aug_slots(a, m)
+        aug_out, pos, ok = fn(aug)
+        inv = _unpermute(aug_out, pos, m, n)
         ok = jnp.logical_and(jnp.all(ok), jnp.all(jnp.isfinite(inv)))
+        if refine > 0:
+            from gpu_matrix_inversion_tpu.ops.refine import (
+                newton_schulz_refine)
+            inv = newton_schulz_refine(a, inv, iters=refine)
+            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(inv)))
         return inv, ok
 
     # Commit the input to the mesh's own devices (replicated) so nothing
@@ -154,14 +246,18 @@ def sharded_blocked_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
 
 def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
                             block_size: int = 128, pivot: bool = True,
-                            dp_axis: str = "dp", tp_axis: str = "tp"):
+                            dp_axis: str = "dp", tp_axis: str = "tp",
+                            precision: str = "highest",
+                            group_size: int | None = None):
     """Batched inversion on a 2D (dp, tp) mesh: batch sharded over ``dp``,
     augmented columns over ``tp``. ``a`` is (B, n, n); B % dp == 0.
 
     Returns ``(inverse (B, n, n), ok (B,))``.
     """
     if mesh is None:
-        nd = len(jax.devices())
+        from gpu_matrix_inversion_tpu.parallel.mesh import (
+            default_platform_devices)
+        nd = len(default_platform_devices())
         dp = 2 if nd % 2 == 0 and nd > 1 else 1
         mesh = make_device_mesh((dp, nd // dp), (dp_axis, tp_axis))
     dp = mesh.shape[dp_axis]
@@ -169,23 +265,29 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
     bsz, n, _ = a.shape
     if bsz % dp != 0:
         raise ValueError(f"batch {bsz} not divisible by dp={dp}")
-    b = min(block_size, max(_round_up(n, 8), 8))
-    m = _round_up(n, b * tp)
+    use_pallas_hw = _mesh_is_tpu(mesh)
+    b, m, group, use_pallas, search_bf16 = _sharded_params(
+        n, block_size, tp, a.dtype, False, group_size)
+    use_pallas = use_pallas and use_pallas_hw
     w = 2 * m // tp
 
-    local = functools.partial(_local_gj, m=m, b=b, w=w, pivot=pivot,
-                              axis=tp_axis)
+    local = functools.partial(_local_gj, m=m, b=b, w=w, group=group,
+                              pivot=pivot, axis=tp_axis,
+                              use_pallas=use_pallas,
+                              search_bf16=search_bf16,
+                              precision=_PRECISIONS[precision])
     local_batched = jax.vmap(local)
     fn = shard_map(local_batched, mesh=mesh,
                    in_specs=P(dp_axis, None, tp_axis),
-                   out_specs=(P(dp_axis, None, tp_axis), P(dp_axis, tp_axis)),
+                   out_specs=(P(dp_axis, None, tp_axis), P(dp_axis, None),
+                              P(dp_axis, tp_axis)),
                    check_vma=False)
 
     @jax.jit
     def run(a):
-        aug = jax.vmap(lambda x: _build_aug(x, m))(a)
-        aug_out, ok = fn(aug)
-        inv = aug_out[:, :n, m:m + n]
+        aug = jax.vmap(lambda x: _build_aug_slots(x, m))(a)
+        aug_out, pos, ok = fn(aug)
+        inv = jax.vmap(lambda ao, p: _unpermute(ao, p, m, n))(aug_out, pos)
         ok = jnp.logical_and(jnp.all(ok, axis=-1),
                              jnp.all(jnp.isfinite(inv), axis=(-2, -1)))
         return inv, ok

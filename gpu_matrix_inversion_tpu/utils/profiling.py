@@ -37,20 +37,37 @@ def trace(log_dir: str):
 
 def device_info() -> dict:
     """Device-capability dump (reference FP32.cpp:304-333 prints
-    CL_DEVICE_* attributes at startup)."""
+    CL_DEVICE_* attributes: max workgroup size, global/local memory,
+    compute units). TPU equivalents: HBM limits/usage from the runtime's
+    memory stats, core counts, plus the VMEM budget the Pallas kernel
+    gating in ops/blocked assumes (the analog of CL_DEVICE_LOCAL_MEM_SIZE).
+    """
     import jax
     devs = jax.devices()
+
+    def one(d):
+        entry = {
+            "id": d.id,
+            "platform": getattr(d, "platform", "?"),
+            "device_kind": getattr(d, "device_kind", "?"),
+            "num_cores_on_chip": getattr(d, "core_count", None),
+        }
+        try:
+            stats = d.memory_stats() or {}
+            entry["hbm_bytes_limit"] = stats.get("bytes_limit")
+            entry["hbm_bytes_in_use"] = stats.get("bytes_in_use")
+            entry["hbm_peak_bytes_in_use"] = stats.get("peak_bytes_in_use")
+        except Exception:  # pragma: no cover - backends without stats
+            pass
+        return {k: v for k, v in entry.items() if v is not None}
+
     info = {
         "backend": jax.default_backend(),
         "device_count": len(devs),
-        "devices": [
-            {
-                "id": d.id,
-                "platform": getattr(d, "platform", "?"),
-                "device_kind": getattr(d, "device_kind", "?"),
-            }
-            for d in devs
-        ],
+        # The working assumption behind ops/blocked._select_block_params'
+        # size gates (~16 MiB VMEM/core on v4/v5 TPUs).
+        "vmem_bytes_assumed": 16 * 1024 * 1024,
+        "devices": [one(d) for d in devs],
     }
     return info
 
@@ -62,9 +79,13 @@ def print_phase_report(res, order: int, out=None) -> None:
     t = res.times
     print(f"matrix order: {order}", file=out)
     for key in ("buffers", "compile", "make_augmented", "pivot", "row",
-                "column", "total_compute", "get_inverted", "total"):
+                "column", "total_compute", "identity_check",
+                "get_inverted", "total"):
         if key in t:
             print(f"  {key:>14}: {t[key] * 1e3:10.3f} ms", file=out)
+    if getattr(res, "identity_error", None) is not None:
+        # Strict identity self-check (reference FP32.cpp:814-835).
+        print(f"  {'max|AX-I|':>14}: {res.identity_error:10.3e}", file=out)
     tc = t.get("total_compute")
     if tc:
         # The reference's fixColumn flop model: 4*N^3 total

@@ -29,11 +29,27 @@ class Res:
     inversa64: Optional[np.ndarray] = None   # FP64 inverse (flat, row-major)
     times: Dict[str, float] = dataclasses.field(default_factory=dict)
     ok: bool = True
+    # Strict identity self-check (reference FP32.cpp:814-835 re-reads the
+    # reduced augmented matrix and verifies the left half is exactly I):
+    # max elementwise |A @ X - I| computed on device when the opt-in
+    # strict-verify mode runs; None otherwise.
+    identity_error: Optional[float] = None
 
-    def times_vector(self) -> list:
-        """Reference-ordered timing vector (FP32_bench.cpp slot order)."""
+    def times_vector(self, *, no_pivot: bool = False) -> list:
+        """Reference-ordered timing vector (FP32_bench.cpp slot order).
+
+        ``no_pivot=True`` appends the crr/copy slots of the no-pivot bench
+        (``matrix_inversion_no_pivots_benchmark.cpp:492-495``). On TPU both
+        stages are fused into the factor kernel (the diagonal fetch is the
+        trivial branch of the pivot search; no column snapshot exists
+        because elimination is out-of-place in registers), so the slots
+        exist for Res parity and read 0 unless a profiler fills them.
+        """
         order = ["queue", "buffers", "compile", "make_augmented", "pivot",
-                 "row", "column", "total_compute", "get_inverted", "total"]
+                 "row"]
+        if no_pivot:
+            order += ["crr", "copy"]
+        order += ["column", "total_compute", "get_inverted", "total"]
         return [self.times.get(k, 0.0) for k in order]
 
 

