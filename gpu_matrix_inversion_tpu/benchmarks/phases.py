@@ -69,8 +69,8 @@ def measure_phases(n: int = 2048, *, block_size: int = 128, pivot: bool = True,
     b, use_pallas, sbf16 = B._select_block_params(n, block_size,
                                                   a.dtype, False)
     # Same derivation as blocked_inverse: from the GATED b, so the profiled
-    # configuration matches the real path (composite rank ~1024).
-    group_size = max(4, 1024 // min(b, 128))
+    # configuration matches the real path (composite width ~1536).
+    group_size = B._default_group_size(b)
     interpret = not tpu_available()
 
     def fake_search(strip, kb, used, *, m, b, pivot, interpret):

@@ -260,6 +260,22 @@ def _factor_geometry(m: int, b: int):
     return sub, kmask - 1
 
 
+def _default_group_size(b: int) -> int:
+    """Panels per composite group when the caller does not choose.
+
+    The sweet spot is a composite WIDTH of gw = group*b ~ 1536 columns,
+    independent of b (round 3, v5e, single-call minima: 16384^2 b=64 has
+    g=16/24/32 at 792/741/851 ms; 4096^2 b=128 has g=8/12/16/32 at
+    ~16.1/15.0/15.4/20.4 ms amortized). Wider groups push work from the
+    windowed outer GEMM into the internal per-panel updates (rank-b on a
+    growing (m, gw+b) window); narrower ones launch more outer GEMMs on
+    short windows. Derived from the GATED b, not the user's block_size:
+    at e.g. n=16384 the VMEM gates shrink b 128 -> 64 and the group must
+    widen to keep gw on the sweet spot.
+    """
+    return max(4, 1536 // min(b, 128))
+
+
 def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
                   m: int, b: int, pivot: bool, interpret: bool):
     """Run the pivot-search kernel; returns pivrows (b,) int32.
@@ -707,7 +723,7 @@ def effective_gemm_flops(n: int, *, block_size: int = DEFAULT_BLOCK_SIZE,
     b, _, search_bf16 = _select_block_params(n, block_size, dtype,
                                              search_bf16)
     if group_size is None:
-        group_size = max(4, 1024 // min(b, 128))
+        group_size = _default_group_size(b)
     m = max(_round_up(n, b), b)
     num_panels = m // b
     group = max(1, min(group_size, num_panels))
@@ -782,11 +798,7 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
     b, use_pallas, search_bf16 = _select_block_params(
         n, block_size, a.dtype, search_bf16)
     if group_size is None:
-        # Derive from the GATED b, not the user's block_size: at e.g.
-        # n=16384 the VMEM gates shrink b 128 -> 64, and deriving first
-        # halved the composite rank to 512 exactly where grouping matters
-        # most (review finding; DESIGN measured rank ~1024 fastest there).
-        group_size = max(4, 1024 // min(b, 128))
+        group_size = _default_group_size(b)
     if use_pallas:
         interpret = not tpu_available()
         # Trace/compile in 32-bit land: Mosaic cannot legalize the i64 index

@@ -302,12 +302,64 @@ def lu_solve_fast(lu: jax.Array, perm: jax.Array, b: jax.Array):
     return x, ok
 
 
-@jax.jit
-def lu_inverse_fast(a: jax.Array):
+# Above this order the one-shot getri solve (triangular solves against the
+# full (n, n) identity) exceeds single-chip HBM: XLA:TPU's triangular-solve
+# lowering plus the factor loop holds tens of n^2 f32 temporaries live
+# (measured: 20.9 GB of HLO temp at n=11000 vs 15.75 GB HBM; OOM at 10240,
+# fits at 8192). The chunked solve bounds the RHS to (n, chunk) per step.
+GETRI_CHUNK_MIN_N = 8192 + 1
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _lu_inverse_chunked(lu: jax.Array, perm: jax.Array, *, chunk: int):
+    """getri solve with the identity RHS processed ``chunk`` columns at a
+    time: peak temp memory drops from O(k * n^2) to O(n^2 + k * n * chunk).
+
+    The permuted identity chunk P @ I[:, j0:j0+c] is built directly as the
+    one-hot comparison perm[i] == j0 + jj (no gather); columns past n (tail
+    chunk) come out zero and the final slice drops them.
+    """
+    n = lu.shape[-1]
+    c = chunk
+    nc = -(-n // c)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           > jax.lax.broadcasted_iota(jnp.int32, (n, n), 1))
+    lmat = jnp.where(tri, lu, jnp.zeros_like(lu)) + jnp.eye(n, dtype=lu.dtype)
+    umat = jnp.where(tri, jnp.zeros_like(lu), lu)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+
+    def body(k, out):
+        j0 = k.astype(jnp.int32) * c
+        y = (perm[:, None] == j0 + lane_c).astype(lu.dtype)   # P @ I chunk
+        y = lax.linalg.triangular_solve(lmat, y, left_side=True, lower=True,
+                                        unit_diagonal=True)
+        x = lax.linalg.triangular_solve(umat, y, left_side=True, lower=False)
+        return lax.dynamic_update_slice(out, x, (_i0, j0))
+
+    out = lax.fori_loop(0, nc, body, jnp.zeros((n, nc * c), lu.dtype))
+    inv = out[:, :n]
+    diag = jnp.diagonal(umat)
+    ok = jnp.logical_and(jnp.all(diag != 0), jnp.all(jnp.isfinite(inv)))
+    return inv, ok
+
+
+def lu_inverse_fast(a: jax.Array, *, chunk: int = 2048):
     """Blocked getri: blocked factor + triangular solves against I.
 
     Returns ``(inverse, ok)`` -- the performance version of
-    :func:`lu_inverse`."""
+    :func:`lu_inverse`. Single matrices at n >= :data:`GETRI_CHUNK_MIN_N`
+    solve the identity in ``chunk``-column blocks (capacity fix: the
+    one-shot solve OOMs a 16 GB chip past ~10k; see GETRI_CHUNK_MIN_N)."""
+    n = a.shape[-1]
+    if a.ndim == 2 and n >= GETRI_CHUNK_MIN_N:
+        lu, perm, ok_f = lu_factor_blocked(a)
+        inv, ok_s = _lu_inverse_chunked(lu, perm, chunk=min(chunk, n))
+        return inv, jnp.logical_and(ok_f, ok_s)
+    return _lu_inverse_fast_oneshot(a)
+
+
+@jax.jit
+def _lu_inverse_fast_oneshot(a: jax.Array):
     n = a.shape[-1]
     lu, perm, ok_f = lu_factor_blocked(a)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)

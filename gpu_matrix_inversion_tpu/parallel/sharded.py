@@ -46,8 +46,9 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import _i0
-from gpu_matrix_inversion_tpu.ops.blocked import (_PRECISIONS, _group_factor,
-                                                  _round_up,
+from gpu_matrix_inversion_tpu.ops.blocked import (_PRECISIONS,
+                                                  _default_group_size,
+                                                  _group_factor, _round_up,
                                                   _select_block_params)
 from gpu_matrix_inversion_tpu.ops.fused import _is_tpu_device
 from gpu_matrix_inversion_tpu.parallel.mesh import make_device_mesh
@@ -189,7 +190,7 @@ def _sharded_params(n: int, block_size: int, d: int, dtype,
         n, block_size, dtype, search_bf16)
     m = _round_up(n, b * d)
     if group_size is None:
-        group_size = max(4, 1024 // min(b, 128))
+        group_size = _default_group_size(b)
     group = max(1, min(group_size, m // b))
     return b, m, group, use_pallas, search_bf16
 

@@ -43,6 +43,30 @@ def test_blocked_inverse_fp32():
     assert relative_residual(a, np.asarray(inv)) < 1e-5
 
 
+def test_chunked_getri_matches_oneshot(monkeypatch):
+    """Round-3 capacity fix: the one-shot getri solve against a full
+    (n, n) identity holds tens of n^2 temporaries live and OOMs a 16 GB
+    chip past n~10k; large single matrices solve the identity in column
+    chunks instead. The chunked result must match the one-shot solve to
+    rounding (gate shrunk, chunk non-dividing to exercise the tail)."""
+    import gpu_matrix_inversion_tpu.ops.lu as L
+
+    n = 100
+    a = hollow_random_matrix(n, seed=113, dtype=np.float64)
+    inv_one, ok_one = lu_inverse_fast(a)
+    monkeypatch.setattr(L, "GETRI_CHUNK_MIN_N", 64)
+    inv_ch, ok_ch = L.lu_inverse_fast(a, chunk=32)  # 100 = 3*32 + 4 tail
+    assert bool(ok_one) and bool(ok_ch)
+    np.testing.assert_allclose(np.asarray(inv_ch), np.asarray(inv_one),
+                               rtol=1e-12, atol=1e-12)
+    # batched inputs stay on the one-shot path regardless of n
+    ab = np.stack([a, a])
+    invb, okb = L.lu_inverse_fast(ab)
+    assert bool(np.all(np.asarray(okb)))
+    np.testing.assert_allclose(np.asarray(invb[0]), np.asarray(inv_one),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_blocked_lu_singular_flagged():
     a = np.ones((128, 128), dtype=np.float32)
     _, ok = lu_inverse_fast(a)
