@@ -89,17 +89,36 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
         use_pallas=use_pallas, interpret=False, precision=precision,
         search_bf16=search_bf16, emit=emit)
 
+    def shift_cols(chunk, width: int, start):
+        """Place ``chunk`` (m, cw) into a zero (m, width) canvas at dynamic
+        column ``start`` (clamped into range) via one dynamic_update_slice.
+
+        This pad-shift is THE column-alignment primitive here: a
+        ``jnp.take(..., axis=1)`` with traced indices lowers on XLA:TPU to
+        a serial per-column gather loop — measured 490x slower end-to-end
+        on a 1-device v5e mesh — while dynamic_update_slice is one
+        contiguous vector copy.
+        """
+        buf = jnp.zeros((m, width), chunk.dtype)
+        return lax.dynamic_update_slice(buf, chunk, (_i0, start))
+
     def run_group(kb0, carry, gsize, gw):
         aug_loc, used, pos, ok = carry
 
         # 1. Group gather: global columns [kb0, kb0+gw) live on one or two
-        # shards; a clipped local gather masked by ownership, psum'd, lands
-        # the (m, gw) outer strip on every device (robust to any alignment,
-        # so gw never needs to divide the shard width).
-        idx = kb0 + lax.broadcasted_iota(jnp.int32, (1, gw), 1) - my * w
-        own = jnp.logical_and(idx >= 0, idx < w).astype(dtype)  # (1, gw)
-        cand = jnp.take(aug_loc, jnp.clip(idx[0], 0, w - 1), axis=1)
-        o_strip = lax.psum(cand * own, axis)
+        # shards (gw <= w by the group cap). Each owner takes ONE contiguous
+        # clipped (m, gw) dynamic_slice, pad-shifts it into window
+        # coordinates, masks to the lanes it owns, and a psum assembles the
+        # full (m, gw) outer strip on every device (robust to any
+        # alignment, so gw never needs to divide the shard width).
+        off = jnp.clip(kb0 - my * w, 0, jnp.int32(w - gw))
+        cand = lax.dynamic_slice(aug_loc, (_i0, off), (m, gw))
+        shift = my * w + off - kb0                       # in [-gw, gw]
+        contrib = shift_cols(cand, 3 * gw, gw + shift)[:, gw:2 * gw]
+        lane_g = kb0 + lax.broadcasted_iota(jnp.int32, (1, gw), 1)
+        own = jnp.logical_and(lane_g >= my * w,
+                              lane_g < my * w + w).astype(dtype)
+        o_strip = lax.psum(contrib * own, axis)
 
         # 2. Replicated factorization on [O | G] (identical inputs on every
         # device -> identical pivots/composites, no index exchange).
@@ -130,18 +149,20 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
         aug_loc = lax.cond(has, do_update, lambda x: x, aug_loc)
 
         # 4. Deposits: the group's own columns get the finished O, its slot
-        # columns [m+kb0, m+kb0+gw) get G -- local gathers selected by
-        # global column index (handles shard-straddling groups).
+        # columns [m+kb0, m+kb0+gw) get G -- each chunk pad-shifted into
+        # local coordinates (one dynamic_update_slice) and written under a
+        # lane-index ownership select (handles shard-straddling groups
+        # without dynamic-index column gathers; see shift_cols).
         jg = my * w + lane_w                                   # (1, w)
-        sel_o = jnp.logical_and(jg >= kb0, jg < kb0 + gw)
-        sel_g = jnp.logical_and(jg >= np.int32(m) + kb0,
-                                jg < np.int32(m) + kb0 + gw)
-        src_o = jnp.take(og[:, :gw], jnp.clip(jg[0] - kb0, 0, gw - 1),
-                         axis=1)
-        src_g = jnp.take(og[:, gw:],
-                         jnp.clip(jg[0] - np.int32(m) - kb0, 0, gw - 1),
-                         axis=1)
-        aug_loc = jnp.where(sel_o, src_o, jnp.where(sel_g, src_g, aug_loc))
+
+        def deposit(aug_loc, chunk, g0):
+            sel = jnp.logical_and(jg >= g0, jg < g0 + gw)
+            t = jnp.clip(g0 - my * w, -jnp.int32(gw), jnp.int32(w))
+            shifted = shift_cols(chunk, w + 2 * gw, gw + t)[:, gw:gw + w]
+            return jnp.where(sel, shifted, aug_loc)
+
+        aug_loc = deposit(aug_loc, og[:, :gw], kb0)
+        aug_loc = deposit(aug_loc, og[:, gw:], np.int32(m) + kb0)
         return aug_loc, used, pos, ok
 
     def group_step(kk, carry):
@@ -191,8 +212,48 @@ def _sharded_params(n: int, block_size: int, d: int, dtype,
     m = _round_up(n, b * d)
     if group_size is None:
         group_size = _default_group_size(b)
-    group = max(1, min(group_size, m // b))
+    # gw = group*b <= w keeps every group on at most two shards, which is
+    # what the one-dynamic-slice strip gather and pad-shift deposits in
+    # _local_gj assume.
+    group = max(1, min(group_size, m // b, 2 * m // (d * b)))
     return b, m, group, use_pallas, search_bf16
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_run(mesh: Mesh, n: int, m: int, b: int, group: int,
+                 pivot: bool, axis: str, use_pallas: bool,
+                 search_bf16: bool, precision: str, refine: int):
+    """Build-and-cache the jitted single-matrix program for one geometry.
+
+    The jit MUST be cached across calls: a fresh ``@jax.jit`` closure per
+    call retraces and recompiles the whole shard_map program every time --
+    measured ~25 s per call at 4096^2 on the v5e (667x the actual ~40 ms
+    execution) before this cache existed. Mesh objects hash by device
+    tuple + axis names, so the same mesh reuses its executable.
+    """
+    w = 2 * m // mesh.shape[axis]
+    local = functools.partial(_local_gj, m=m, b=b, w=w, group=group,
+                              pivot=pivot, axis=axis, use_pallas=use_pallas,
+                              search_bf16=search_bf16,
+                              precision=_PRECISIONS[precision])
+    fn = shard_map(local, mesh=mesh, in_specs=P(None, axis),
+                   out_specs=(P(None, axis), P(None), P(axis)),
+                   check_vma=False)
+
+    @jax.jit
+    def run(a):
+        aug = _build_aug_slots(a, m)
+        aug_out, pos, ok = fn(aug)
+        inv = _unpermute(aug_out, pos, m, n)
+        ok = jnp.logical_and(jnp.all(ok), jnp.all(jnp.isfinite(inv)))
+        if refine > 0:
+            from gpu_matrix_inversion_tpu.ops.refine import (
+                newton_schulz_refine)
+            inv = newton_schulz_refine(a, inv, iters=refine)
+            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(inv)))
+        return inv, ok
+
+    return run
 
 
 def sharded_blocked_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
@@ -216,29 +277,9 @@ def sharded_blocked_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
     b, m, group, use_pallas, search_bf16 = _sharded_params(
         n, block_size, d, a.dtype, search_bf16, group_size)
     use_pallas = use_pallas and use_pallas_hw
-    w = 2 * m // d
 
-    local = functools.partial(_local_gj, m=m, b=b, w=w, group=group,
-                              pivot=pivot, axis=axis, use_pallas=use_pallas,
-                              search_bf16=search_bf16,
-                              precision=_PRECISIONS[precision])
-    fn = shard_map(local, mesh=mesh, in_specs=P(None, axis),
-                   out_specs=(P(None, axis), P(None), P(axis)),
-                   check_vma=False)
-
-    @jax.jit
-    def run(a):
-        aug = _build_aug_slots(a, m)
-        aug_out, pos, ok = fn(aug)
-        inv = _unpermute(aug_out, pos, m, n)
-        ok = jnp.logical_and(jnp.all(ok), jnp.all(jnp.isfinite(inv)))
-        if refine > 0:
-            from gpu_matrix_inversion_tpu.ops.refine import (
-                newton_schulz_refine)
-            inv = newton_schulz_refine(a, inv, iters=refine)
-            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(inv)))
-        return inv, ok
-
+    run = _sharded_run(mesh, n, m, b, group, pivot, axis, use_pallas,
+                       search_bf16, precision, refine)
     # Commit the input to the mesh's own devices (replicated) so nothing
     # ever lands on the process default device — which under the axon TPU
     # tunnel may be a different platform than the mesh (CLAUDE.md hazard #1).
@@ -270,8 +311,21 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
     b, m, group, use_pallas, search_bf16 = _sharded_params(
         n, block_size, tp, a.dtype, False, group_size)
     use_pallas = use_pallas and use_pallas_hw
-    w = 2 * m // tp
 
+    run = _sharded_batched_run(mesh, n, m, b, group, pivot, dp_axis,
+                               tp_axis, use_pallas, search_bf16, precision)
+    # See sharded_blocked_inverse: commit to the mesh devices, batch-sharded
+    # over dp so each dp group only materializes its own slice.
+    return run(jax.device_put(a, NamedSharding(mesh, P(dp_axis))))
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_batched_run(mesh: Mesh, n: int, m: int, b: int, group: int,
+                         pivot: bool, dp_axis: str, tp_axis: str,
+                         use_pallas: bool, search_bf16: bool,
+                         precision: str):
+    """Cached jitted batched program (see _sharded_run for why)."""
+    w = 2 * m // mesh.shape[tp_axis]
     local = functools.partial(_local_gj, m=m, b=b, w=w, group=group,
                               pivot=pivot, axis=tp_axis,
                               use_pallas=use_pallas,
@@ -293,6 +347,4 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
                              jnp.all(jnp.isfinite(inv), axis=(-2, -1)))
         return inv, ok
 
-    # See sharded_blocked_inverse: commit to the mesh devices, batch-sharded
-    # over dp so each dp group only materializes its own slice.
-    return run(jax.device_put(a, NamedSharding(mesh, P(dp_axis))))
+    return run
