@@ -33,12 +33,23 @@ that is the hardware-utilization number and must stay below the measured
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _trace(msg: str) -> None:
+    """Stage marker to stderr (``MATINV_BENCH_TRACE=1``): a hung TPU call
+    through the tunnel leaves no output, so flushed markers are the only
+    way to tell WHICH stage wedged (CLAUDE.md hazard #3)."""
+    if os.environ.get("MATINV_BENCH_TRACE"):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
 
 
 def _sync(out) -> float:
@@ -84,12 +95,14 @@ def main() -> None:
         inv, ok = fused_inverse(x)
         return jnp.sum(inv) + jnp.sum(ok)
 
+    _trace("batched fused 128^2 (f32)")
     t_batched = _bench(probe_batched, batch)
     inv_per_s = bs / t_batched
 
     # bf16 I/O variant (fp32 VMEM compute; VERDICT r1 #6: must run
     # compiled on hardware, not interpret-only).
     batch_bf16 = batch.astype(jnp.bfloat16)
+    _trace("batched fused 128^2 (bf16)")
     t_bf16 = _bench(probe_batched, batch_bf16)
     inv_per_s_bf16 = bs / t_bf16
 
@@ -116,7 +129,9 @@ def main() -> None:
             return jnp.sum(outs) + c
         return p
 
+    _trace("blocked 4096 raw scans")
     t_raw, t_raw_single = _amortized(lambda k: make_blocked(k, 0), a_big)
+    _trace("blocked 4096 refined scans")
     t_ref, t_ref_single = _amortized(lambda k: make_blocked(k, 1), a_big)
 
     def make_lu(k):
@@ -129,6 +144,7 @@ def main() -> None:
             return jnp.sum(outs) + c
         return p
 
+    _trace("lu getri 4096 scans")
     t_lu, _ = _amortized(make_lu, a_big, 1, 3)
     gflops_raw = 4 * n_big**3 / t_raw / 1e9
     gflops_raw_eff = effective_gemm_flops(n_big) / t_raw / 1e9
@@ -144,12 +160,30 @@ def main() -> None:
         inv, ok = blocked_inverse(a, refine=0)
         return jnp.sum(inv) + ok.astype(jnp.float32)
 
+    _trace("blocked 16384 single-call")
     t_huge = _bench(probe_huge, a_huge, reps=2)
     gflops_huge = 4 * n_huge**3 / t_huge / 1e9
     gflops_huge_eff = effective_gemm_flops(n_huge) / t_huge / 1e9
     del a_huge
 
+    # --- sharded wrapper gate (1-device mesh; VERDICT r2 #1 done gate) ------
+    # Pins two past regressions: the per-call jit rebuild (~25 s/call) and
+    # the serial dynamic-index column gathers. Single-call wall-clock; must
+    # stay within ~1.3x of the blocked single-call above.
+    from gpu_matrix_inversion_tpu.parallel.mesh import make_device_mesh
+    from gpu_matrix_inversion_tpu.parallel.sharded import (
+        sharded_blocked_inverse)
+    mesh1 = make_device_mesh(1, ("x",))
+
+    def probe_sharded(x):
+        inv, ok = sharded_blocked_inverse(x, mesh=mesh1, refine=0)
+        return jnp.sum(inv) + ok.astype(jnp.float32)
+
+    _trace("sharded 4096 (1-dev mesh)")
+    t_sharded = _bench(probe_sharded, a_big)
+
     # --- correctness gates (BASELINE: <=1e-4 rel residual) ------------------
+    _trace("correctness gates")
     inv_small, ok_small = fused_inverse(np.asarray(base[0]))
     resid = relative_residual(base[0], np.asarray(inv_small))
     inv_raw, ok_raw = blocked_inverse(a_big, refine=0)
@@ -176,12 +210,16 @@ def main() -> None:
         "blocked_16384_ms": round(t_huge * 1e3, 1),
         "blocked_16384_gflops_4n3": round(gflops_huge, 1),
         "blocked_16384_gflops_effective": round(gflops_huge_eff, 1),
+        "sharded_4096_ms_single_call_1dev": round(t_sharded * 1e3, 1),
+        "sharded_vs_blocked_single_call": round(
+            t_sharded / max(t_raw_single, 1e-9), 2),
         "blocked_4096_residual_raw": float(f"{resid_raw:.3g}"),
         "blocked_4096_residual_refined": float(f"{resid_refined:.3g}"),
         "residual_128_fused": float(f"{resid:.3g}"),
         "ok": bool(ok_small) and bool(ok_raw) and resid_raw < 1e-4,
         "device": str(jax.devices()[0]),
     }
+    _trace("done")
     print(json.dumps(result))
 
 

@@ -261,11 +261,13 @@ def sharded_blocked_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
                             axis: str = "x", precision: str = "highest",
                             search_bf16: bool = False,
                             group_size: int | None = None,
-                            refine: int = 0):
+                            refine: int = 1):
     """Invert a single (n, n) matrix column-sharded over ``mesh[axis]``.
 
     Returns ``(inverse, ok)`` like the single-chip paths. ``refine`` adds
-    Newton-Schulz polish steps computed as global (sharded) GEMMs.
+    Newton-Schulz polish steps computed as global (sharded) GEMMs; the
+    default matches ``blocked_inverse`` (one polish step) so auto-routing
+    a large matrix to the mesh does not silently drop a quality tier.
     """
     if mesh is None:
         from gpu_matrix_inversion_tpu.parallel.mesh import (

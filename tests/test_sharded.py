@@ -78,7 +78,8 @@ def test_sharded_matches_blocked_on_one_device_mesh():
 
     mesh = make_device_mesh(1, ("x",), platform="cpu")
     a = hollow_random_matrix(256, seed=73)
-    inv_sh, ok_sh = sharded_blocked_inverse(a, mesh=mesh, block_size=32)
+    inv_sh, ok_sh = sharded_blocked_inverse(a, mesh=mesh, block_size=32,
+                                            refine=0)
     inv_bl, ok_bl = _blocked_inverse_jit(
         jnp.asarray(a), pivot=True, block_size=32, use_pallas=False,
         interpret=False, precision="highest", search_bf16=False,
