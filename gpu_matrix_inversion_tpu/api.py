@@ -122,18 +122,22 @@ def identity_check_tolerance(order: int, dtype) -> float:
     return 1e3 * eps * float(order)
 
 
+@jax.jit
+def _strict_identity_error_jit(a, inv):
+    n = a.shape[-1]
+    prod = jnp.matmul(a, inv, preferred_element_type=a.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
+    eye = jnp.eye(n, dtype=a.dtype)
+    return jnp.max(jnp.abs(prod - eye))
+
+
 def _strict_identity_error(a, inv) -> float:
     """max elementwise |A @ X - I| computed on device (HIGHEST GEMM) --
     the reference's identity self-check tier promoted to a quantitative
-    diagnostic (FP32.cpp:814-835; its de-facto singular detector)."""
-    @jax.jit
-    def err(a, inv):
-        n = a.shape[-1]
-        prod = jnp.matmul(a, inv, preferred_element_type=a.dtype,
-                          precision=jax.lax.Precision.HIGHEST)
-        eye = jnp.eye(n, dtype=a.dtype)
-        return jnp.max(jnp.abs(prod - eye))
-    return float(err(a, inv))
+    diagnostic (FP32.cpp:814-835; its de-facto singular detector). The
+    jitted check lives at module scope so repeated calls at one shape hit
+    the jit cache instead of re-tracing per call."""
+    return float(_strict_identity_error_jit(a, inv))
 
 
 def _bench(flat, order: int, dtype, *, pivot: bool,

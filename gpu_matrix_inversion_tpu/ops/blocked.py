@@ -260,6 +260,16 @@ def _factor_geometry(m: int, b: int):
     return sub, kmask - 1
 
 
+def _emit_fused(m: int, use_pallas: bool, search_bf16: bool) -> bool:
+    """Gate for the fused factor kernel (``_panel_factor``): VMEM holds 3
+    (b, m) buffers (strip in, working copy, C^T out) plus probes, which
+    fits b=128 to m <= 8192 -- exactly the fp32-search regime. Larger m
+    keeps the split search + small-inverse path whose gating was sized for
+    2 buffers. Shared by the single-chip driver and the per-device body of
+    ``parallel/sharded.py`` so the threshold cannot drift between them."""
+    return use_pallas and not search_bf16 and m <= 8192
+
+
 def _default_group_size(b: int) -> int:
     """Panels per composite group when the caller does not choose.
 
@@ -614,11 +624,7 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     num_groups = num_panels // group
     tail = num_panels - num_groups * group
 
-    # Fused factor kernel (round 3): VMEM holds 3 (b, m) buffers (strip in,
-    # working copy, C^T out) plus probes, which fits b=128 to m <= 8192 --
-    # exactly the fp32-search regime. Larger m keeps the split
-    # search + small-inverse path whose gating was sized for 2 buffers.
-    emit = use_pallas and not search_bf16 and m <= 8192
+    emit = _emit_fused(m, use_pallas, search_bf16)
     group_factor = functools.partial(
         _group_factor, m=m, b=b, dtype=dtype, pivot=pivot,
         use_pallas=use_pallas, interpret=interpret, precision=precision,
@@ -729,9 +735,7 @@ def effective_gemm_flops(n: int, *, block_size: int = DEFAULT_BLOCK_SIZE,
     group = max(1, min(group_size, num_panels))
     num_groups = num_panels // group
     tail = num_panels - num_groups * group
-    sub = min(16, b)
-    while b % sub:
-        sub -= 1
+    sub, _ = _factor_geometry(m, b)
     fl = 0
     for gsize in [group] * num_groups + ([tail] if tail else []):
         gw = gsize * b

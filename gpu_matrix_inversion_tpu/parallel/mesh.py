@@ -25,7 +25,17 @@ def default_platform_devices():
     """
     default = getattr(jax.config, "jax_default_device", None)
     if default is not None:
-        return jax.devices(default.platform)
+        # jax also accepts a platform STRING here ("cpu", "cpu:0") -- a
+        # Device attribute access would crash on it (AttributeError).
+        if isinstance(default, str):
+            platform = default.split(":", 1)[0]
+        else:
+            platform = getattr(default, "platform", None)
+        if platform:
+            try:
+                return jax.devices(platform)
+            except RuntimeError:  # unknown/uninitialized platform name
+                pass
     return jax.devices()
 
 

@@ -48,6 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import _i0
 from gpu_matrix_inversion_tpu.ops.blocked import (_PRECISIONS,
                                                   _default_group_size,
+                                                  _emit_fused,
                                                   _group_factor, _round_up,
                                                   _select_block_params)
 from gpu_matrix_inversion_tpu.ops.fused import _is_tpu_device
@@ -83,7 +84,7 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
     num_panels = m // b
     ngroups = num_panels // group
     tail = num_panels - ngroups * group
-    emit = use_pallas and not search_bf16 and m <= 8192
+    emit = _emit_fused(m, use_pallas, search_bf16)
     group_factor = functools.partial(
         _group_factor, m=m, b=b, dtype=dtype, pivot=pivot,
         use_pallas=use_pallas, interpret=False, precision=precision,
@@ -209,7 +210,18 @@ def _sharded_params(n: int, block_size: int, d: int, dtype,
     round m so panels tile the shard width (w = 2m/d, b | w)."""
     b, use_pallas, search_bf16 = _select_block_params(
         n, block_size, dtype, search_bf16)
-    m = _round_up(n, b * d)
+    # Re-gate against the MESH-rounded m, to a fixpoint: rounding n up to
+    # b*d (e.g. d=3, n=8100 -> m=8448) can push m past the VMEM budget the
+    # b choice was sized for (b=128 is only safe to m=8192), and shrinking
+    # b in turn changes the rounding. b only ever shrinks, so this
+    # terminates in <= 3 steps.
+    while True:
+        m = _round_up(n, b * d)
+        b2, use_pallas, search_bf16 = _select_block_params(
+            m, min(block_size, b), dtype, search_bf16)
+        if b2 == b and m % (b * d) == 0:
+            break
+        b = b2
     if group_size is None:
         group_size = _default_group_size(b)
     # gw = group*b <= w keeps every group on at most two shards, which is
@@ -309,10 +321,17 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
     bsz, n, _ = a.shape
     if bsz % dp != 0:
         raise ValueError(f"batch {bsz} not divisible by dp={dp}")
-    use_pallas_hw = _mesh_is_tpu(mesh)
     b, m, group, use_pallas, search_bf16 = _sharded_params(
         n, block_size, tp, a.dtype, False, group_size)
-    use_pallas = use_pallas and use_pallas_hw
+    # The batched program is jax.vmap(_local_gj) under shard_map; with the
+    # Pallas factor kernels active that vmapped lowering HANGS on the real
+    # v5e (canaried 2026-08-17: batch=2, n=256 on a (1, 1) TPU mesh never
+    # returned and wedged the chip; the unbatched path with the same
+    # kernels is fine). Until the vmap-of-pallas_call lowering is
+    # validated on hardware, the batched variant always uses the jnp
+    # factor path -- identical semantics (the 1-device-mesh parity test
+    # pins it), MXU still carries the GEMM work.
+    use_pallas = False
 
     run = _sharded_batched_run(mesh, n, m, b, group, pivot, dp_axis,
                                tp_axis, use_pallas, search_bf16, precision)

@@ -93,8 +93,9 @@ def test_sharded_group_straddles_shards():
     two-owner strip gather and the straddling deposits."""
     mesh = make_device_mesh(8, ("x",), platform="cpu")
     a = hollow_random_matrix(320, seed=74)
-    # b=16, d=8 -> m=320, w=80; group=4 -> gw=64 straddles the 80-wide
-    # shards at every second group boundary.
+    # b=16, d=8 -> m rounds up to b*d*3 = 384, w = 2m/d = 96; group=4 ->
+    # gw=64 does not divide the 96-wide shards, so group boundaries
+    # straddle shard boundaries (plus 64 pad columns exercise padding).
     inv, ok = sharded_blocked_inverse(a, mesh=mesh, block_size=16,
                                       group_size=4)
     assert bool(ok)
@@ -121,3 +122,44 @@ def test_driver_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_params_regate_vmem_after_mesh_rounding():
+    """Review fix: rounding m up to b*d for a non-power-of-two mesh must
+    re-gate b/search_bf16 against the ROUNDED m, or the fp32 pivot-search
+    kernel launches past its sized VMEM budget (b=128 is only safe to
+    m=8192; a d=3 mesh at n=8100 used to round 8192 -> 8448 while keeping
+    b=128)."""
+    import jax.numpy as jnp
+    from gpu_matrix_inversion_tpu.ops.blocked import _select_block_params
+    from gpu_matrix_inversion_tpu.parallel.sharded import _sharded_params
+
+    for n, d in ((8100, 3), (16350, 3), (8100, 8), (4096, 6), (513, 3)):
+        b, m, group, use_pallas, sb = _sharded_params(
+            n, 128, d, jnp.float32, False, None)
+        assert m % (b * d) == 0, (n, d, b, m)
+        assert m >= n
+        # Fixpoint: the gating choice for the rounded m is the choice used.
+        b2, _, sb2 = _select_block_params(m, b, jnp.float32, sb)
+        assert b2 == b, (n, d, b, b2, m)
+        assert sb2 == sb
+        # The documented budgets themselves.
+        if m > 8192 and not sb:
+            assert b <= 64, (n, d, b, m)
+
+
+def test_default_platform_devices_accepts_string_default():
+    """Review fix: jax accepts a platform STRING for jax_default_device;
+    default_platform_devices must not crash on it (it used to read
+    .platform off the string)."""
+    import jax
+    from gpu_matrix_inversion_tpu.parallel.mesh import (
+        default_platform_devices)
+
+    prev = jax.config.jax_default_device
+    try:
+        jax.config.update("jax_default_device", "cpu")
+        devs = default_platform_devices()
+        assert devs and all(d.platform == "cpu" for d in devs)
+    finally:
+        jax.config.update("jax_default_device", prev)

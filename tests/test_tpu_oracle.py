@@ -154,3 +154,32 @@ def test_hw_panel_factor_composite():
     mask = np.ones(m, bool)
     mask[pr] = False
     np.testing.assert_allclose(x_new[mask], 0.0, atol=1e-3)
+
+
+def test_hw_sharded_paths_on_one_device_mesh():
+    """The sharded programs executed on the real chip (1-device meshes).
+
+    Two canaries per the wedge protocol: (a) the single-matrix path with
+    the Pallas factor kernel active under shard_map; (b) the batched
+    dp x tp path, which vmaps _local_gj -- with Pallas kernels that
+    vmapped lowering HANGS on the v5e (canaried 2026-08-17, chip wedge),
+    so sharded_batched_inverse pins use_pallas=False and this test gates
+    that the jnp-factor batched program stays executable on hardware."""
+    from gpu_matrix_inversion_tpu.parallel.mesh import make_device_mesh
+    from gpu_matrix_inversion_tpu.parallel.sharded import (
+        sharded_batched_inverse, sharded_blocked_inverse)
+    from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+    from gpu_matrix_inversion_tpu.utils.residual import relative_residual
+
+    mesh1 = make_device_mesh(1, ("x",), platform=_dev.platform)
+    a = hollow_random_matrix(256, seed=31)
+    inv, ok = sharded_blocked_inverse(jnp.asarray(a), mesh=mesh1, refine=0)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5
+
+    mesh2 = make_device_mesh((1, 1), ("dp", "tp"), platform=_dev.platform)
+    ab = np.stack([hollow_random_matrix(128, seed=s) for s in (41, 42)])
+    invb, okb = sharded_batched_inverse(jnp.asarray(ab), mesh=mesh2)
+    assert bool(np.all(np.asarray(okb)))
+    for i in range(2):
+        assert relative_residual(ab[i], np.asarray(invb)[i]) < 1e-5
