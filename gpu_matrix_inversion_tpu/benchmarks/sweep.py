@@ -176,7 +176,11 @@ def main(argv=None):
     ap.add_argument("--max-n", type=int, default=2000,
                     help="largest matrix order (reference goes to 16000)")
     ap.add_argument("--method", default="auto",
-                    choices=["auto", "spec", "fused", "blocked", "lu", "ns"])
+                    choices=["auto", "spec", "fused", "blocked", "lu", "ns",
+                             "sharded"],
+                    help="inversion path (models/solver.py METHODS); "
+                         "'sharded' runs the mesh path over all visible "
+                         "devices")
     ap.add_argument("--repeat", type=int, default=3,
                     help="timed repetitions per size (REP, main_file.cpp:16)")
     ap.add_argument("--out", default="-",

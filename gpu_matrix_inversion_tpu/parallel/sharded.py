@@ -321,20 +321,23 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
     bsz, n, _ = a.shape
     if bsz % dp != 0:
         raise ValueError(f"batch {bsz} not divisible by dp={dp}")
+    use_pallas_hw = _mesh_is_tpu(mesh)
     b, m, group, use_pallas, search_bf16 = _sharded_params(
         n, block_size, tp, a.dtype, False, group_size)
-    # The batched program is jax.vmap(_local_gj) under shard_map; with the
-    # Pallas factor kernels active that vmapped lowering HANGS on the real
-    # v5e (canaried 2026-08-17: batch=2, n=256 on a (1, 1) TPU mesh never
-    # returned and wedged the chip; the unbatched path with the same
-    # kernels is fine). Until the vmap-of-pallas_call lowering is
-    # validated on hardware, the batched variant always uses the jnp
-    # factor path -- identical semantics (the 1-device-mesh parity test
-    # pins it), MXU still carries the GEMM work.
-    use_pallas = False
+    use_pallas = use_pallas and use_pallas_hw
+    # jax.vmap of the Pallas factor kernels HANGS on the real v5e (canaried
+    # 2026-08-17: batch=2, n=256 on a (1, 1) TPU mesh never returned and
+    # wedged the chip; the unbatched path with the same kernels is fine).
+    # So when the kernels are active the batched body loops the local batch
+    # with lax.map (a scan) instead -- each iteration runs the UNVMAPPED
+    # kernels, the exact lowering the unbatched path already validates on
+    # hardware. The jnp factor path keeps vmap (vectorizing over batch is
+    # free there and faster on CPU meshes).
+    batch_map = use_pallas
 
     run = _sharded_batched_run(mesh, n, m, b, group, pivot, dp_axis,
-                               tp_axis, use_pallas, search_bf16, precision)
+                               tp_axis, use_pallas, search_bf16, precision,
+                               batch_map)
     # See sharded_blocked_inverse: commit to the mesh devices, batch-sharded
     # over dp so each dp group only materializes its own slice.
     return run(jax.device_put(a, NamedSharding(mesh, P(dp_axis))))
@@ -344,15 +347,26 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
 def _sharded_batched_run(mesh: Mesh, n: int, m: int, b: int, group: int,
                          pivot: bool, dp_axis: str, tp_axis: str,
                          use_pallas: bool, search_bf16: bool,
-                         precision: str):
-    """Cached jitted batched program (see _sharded_run for why)."""
+                         precision: str, batch_map: bool = False):
+    """Cached jitted batched program (see _sharded_run for why).
+
+    ``batch_map=True`` runs the local batch through ``lax.map`` (sequential
+    scan) instead of ``jax.vmap`` -- required whenever the Pallas factor
+    kernels are active, whose vmapped lowering hangs the v5e (see
+    sharded_batched_inverse). Outputs are identical; a CPU parity test pins
+    the two lowerings bit-for-bit.
+    """
     w = 2 * m // mesh.shape[tp_axis]
     local = functools.partial(_local_gj, m=m, b=b, w=w, group=group,
                               pivot=pivot, axis=tp_axis,
                               use_pallas=use_pallas,
                               search_bf16=search_bf16,
                               precision=_PRECISIONS[precision])
-    local_batched = jax.vmap(local)
+    if batch_map:
+        def local_batched(aug_b):
+            return lax.map(local, aug_b)
+    else:
+        local_batched = jax.vmap(local)
     fn = shard_map(local_batched, mesh=mesh,
                    in_specs=P(dp_axis, None, tp_axis),
                    out_specs=(P(dp_axis, None, tp_axis), P(dp_axis, None),

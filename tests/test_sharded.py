@@ -60,6 +60,28 @@ def test_sharded_batched_dp_tp():
         assert relative_residual(a[i], np.asarray(inv)[i]) < 1e-5
 
 
+def test_sharded_batched_map_matches_vmap():
+    """The lax.map batched lowering (used whenever the Pallas factor
+    kernels are active -- their vmapped lowering hangs the v5e) must be
+    bit-identical to the vmap lowering on the same mesh/geometry."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gpu_matrix_inversion_tpu.parallel.sharded import (
+        _sharded_batched_run, _sharded_params)
+
+    mesh = make_device_mesh((2, 4), ("dp", "tp"), platform="cpu")
+    a = jnp.asarray(np.stack(
+        [hollow_random_matrix(96, seed=s) for s in range(4)]))
+    b, m, group, _, sb = _sharded_params(96, 16, 4, a.dtype, False, None)
+    outs = []
+    for batch_map in (False, True):
+        run = _sharded_batched_run(mesh, 96, m, b, group, True, "dp", "tp",
+                                   False, sb, "highest", batch_map)
+        inv, ok = run(jax.device_put(a, NamedSharding(mesh, P("dp"))))
+        assert bool(np.all(np.asarray(ok)))
+        outs.append(np.asarray(inv))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_sharded_fp64():
     mesh = make_device_mesh(4, ("x",), platform="cpu")
     a = hollow_random_matrix(128, seed=72, dtype=np.float64)

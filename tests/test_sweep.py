@@ -36,6 +36,16 @@ def test_device_sweep_rows():
     assert float(cols[7]) < 1e-4  # normalized residual column
 
 
+def test_device_sweep_sharded_method():
+    """--method sharded drives the mesh path through the same protocol
+    (on the CPU suite: a mesh over the 8 virtual devices)."""
+    out = io.StringIO()
+    sweep_tpu(0, out, method="sharded", repeat=1, sizes=[64])
+    cols = out.getvalue().strip().splitlines()[-1].split()
+    assert int(cols[0]) == 64 and len(cols) == 8
+    assert float(cols[7]) < 1e-4
+
+
 def test_device_sweep_amortized_column():
     out = io.StringIO()
     sweep_tpu(20, out, method="spec", repeat=1, amortize=3)

@@ -161,10 +161,10 @@ def test_hw_sharded_paths_on_one_device_mesh():
 
     Two canaries per the wedge protocol: (a) the single-matrix path with
     the Pallas factor kernel active under shard_map; (b) the batched
-    dp x tp path, which vmaps _local_gj -- with Pallas kernels that
-    vmapped lowering HANGS on the v5e (canaried 2026-08-17, chip wedge),
-    so sharded_batched_inverse pins use_pallas=False and this test gates
-    that the jnp-factor batched program stays executable on hardware."""
+    dp x tp path. jax.vmap of the Pallas kernels HANGS on the v5e
+    (canaried 2026-08-17, chip wedge), so on TPU meshes the batched body
+    loops the local batch via lax.map with the kernels active -- this test
+    gates that map-of-Pallas lowering stays executable on hardware."""
     from gpu_matrix_inversion_tpu.parallel.mesh import make_device_mesh
     from gpu_matrix_inversion_tpu.parallel.sharded import (
         sharded_batched_inverse, sharded_blocked_inverse)
