@@ -216,7 +216,12 @@ def main() -> None:
         "blocked_4096_residual_raw": float(f"{resid_raw:.3g}"),
         "blocked_4096_residual_refined": float(f"{resid_refined:.3g}"),
         "residual_128_fused": float(f"{resid:.3g}"),
-        "ok": bool(ok_small) and bool(ok_raw) and resid_raw < 1e-4,
+        # The sharded wrapper gate is part of ok: the regressions it pins
+        # (per-call rebuild, serial gathers) showed up as 30-600x, so a
+        # loose 5x bound catches them without tripping on post-wedge
+        # first-call slowness (CLAUDE.md hazard #3).
+        "ok": (bool(ok_small) and bool(ok_raw) and resid_raw < 1e-4
+               and t_sharded / max(t_raw_single, 1e-9) < 5.0),
         "device": str(jax.devices()[0]),
     }
     _trace("done")

@@ -74,8 +74,9 @@ def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
     ``ok`` is the singularity flag per the reference's empty-on-singular
     contract (SURVEY.md section 2, C10). ``method="sharded"`` runs the
     panel-sharded multi-chip path over ``mesh`` (default: all devices).
-    ``precision``/``search_bf16`` apply to the blocked path only (other
-    methods ignore them).
+    ``precision``/``search_bf16`` apply to the blocked and sharded paths
+    (the batched sharded path takes ``precision`` only); the remaining
+    methods ignore them.
     """
     if method not in METHODS:
         raise ValueError(f"method must be one of {METHODS}, got {method!r}")

@@ -779,8 +779,9 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
       group_size: panels per composite trailing update. Larger = fewer
         full-matrix passes (16384^2 goes 11.2 -> 14.3 TFLOP/s from group 4
         to 16) but a somewhat larger raw residual, which the default Newton
-        polish recovers. Default: composite rank ~1024 (8 panels at b=128,
-        16 at b=64); set 1 for per-panel updates.
+        polish recovers. Default: composite rank ~1536 (12 panels at b=128,
+        24 at b=64, the measured sweet spot — ``_default_group_size``); set
+        1 for per-panel updates.
       refine: Newton-Schulz polish steps applied to the result (default 1:
         +12% time at 4096 for residual 7e-8 instead of 1.8e-5; 0 disables).
     """

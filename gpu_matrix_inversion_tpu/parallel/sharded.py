@@ -281,6 +281,17 @@ def sharded_blocked_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
     default matches ``blocked_inverse`` (one polish step) so auto-routing
     a large matrix to the mesh does not silently drop a quality tier.
     """
+    a = jnp.asarray(a)
+    if a.dtype == jnp.bfloat16:
+        # Same bf16-as-I/O contract as blocked_inverse: compute in fp32
+        # (bf16 GJ arithmetic is numerically useless past tiny n, and bf16
+        # vector ops miscompile in parts of this Mosaic toolchain), return
+        # bf16 — the mesh route must not silently drop a quality tier.
+        inv, ok = sharded_blocked_inverse(
+            a.astype(jnp.float32), mesh=mesh, block_size=block_size,
+            pivot=pivot, axis=axis, precision=precision,
+            search_bf16=search_bf16, group_size=group_size, refine=refine)
+        return inv.astype(jnp.bfloat16), ok
     if mesh is None:
         from gpu_matrix_inversion_tpu.parallel.mesh import (
             default_platform_devices)
@@ -310,6 +321,14 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
 
     Returns ``(inverse (B, n, n), ok (B,))``.
     """
+    a = jnp.asarray(a)
+    if a.dtype == jnp.bfloat16:
+        # bf16 I/O contract (see sharded_blocked_inverse / blocked_inverse).
+        inv, ok = sharded_batched_inverse(
+            a.astype(jnp.float32), mesh=mesh, block_size=block_size,
+            pivot=pivot, dp_axis=dp_axis, tp_axis=tp_axis,
+            precision=precision, group_size=group_size)
+        return inv.astype(jnp.bfloat16), ok
     if mesh is None:
         from gpu_matrix_inversion_tpu.parallel.mesh import (
             default_platform_devices)

@@ -60,6 +60,30 @@ def test_sharded_batched_dp_tp():
         assert relative_residual(a[i], np.asarray(inv)[i]) < 1e-5
 
 
+def test_sharded_bf16_io_contract():
+    """bf16 input computes in f32 and returns bf16, exactly like
+    blocked_inverse -- the mesh route must not drop a quality tier.
+    (Regression: the sharded paths used to run the whole elimination in
+    bf16 arithmetic, residual ~1e0 on inputs where the f32 compute path
+    lands ~1e-3 after the bf16 output cast.)"""
+    mesh = make_device_mesh(4, ("x",), platform="cpu")
+    a32 = hollow_random_matrix(96, seed=77)
+    a = jnp.asarray(a32, dtype=jnp.bfloat16)
+    inv, ok = sharded_blocked_inverse(a, mesh=mesh, block_size=16)
+    assert inv.dtype == jnp.bfloat16 and bool(ok)
+    assert relative_residual(np.asarray(a, np.float32),
+                             np.asarray(inv, np.float32)) < 1e-2
+
+    mesh2 = make_device_mesh((2, 2), ("dp", "tp"), platform="cpu")
+    ab = jnp.asarray(np.stack([a32, hollow_random_matrix(96, seed=78)]),
+                     dtype=jnp.bfloat16)
+    invb, okb = sharded_batched_inverse(ab, mesh=mesh2, block_size=16)
+    assert invb.dtype == jnp.bfloat16 and bool(np.all(np.asarray(okb)))
+    for i in range(2):
+        assert relative_residual(np.asarray(ab[i], np.float32),
+                                 np.asarray(invb[i], np.float32)) < 1e-2
+
+
 def test_sharded_batched_map_matches_vmap():
     """The lax.map batched lowering (used whenever the Pallas factor
     kernels are active -- their vmapped lowering hangs the v5e) must be
