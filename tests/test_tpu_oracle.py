@@ -156,6 +156,36 @@ def test_hw_panel_factor_composite():
     np.testing.assert_allclose(x_new[mask], 0.0, atol=1e-3)
 
 
+def test_hw_fused_batched_inverse():
+    """The in-place fused batched kernel compiled on hardware (the headline
+    path, BASELINE configs[2]): residual vs numpy at pack=8, the padded
+    non-pow2 route, bf16 I/O, and the singular flag. The CPU suite runs
+    this kernel interpret-only with pack=1, so Mosaic lowering of the
+    unrolled pack bodies and the in-place slot deposit (transform column
+    written over the just-eliminated left column) is only exercised here."""
+    from gpu_matrix_inversion_tpu.ops.fused import fused_inverse
+    from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
+    from gpu_matrix_inversion_tpu.utils.residual import relative_residual
+
+    base = np.stack([hollow_random_matrix(128, seed=i) for i in range(8)])
+    inv, ok = fused_inverse(_put(base))
+    assert bool(np.all(np.asarray(ok)))
+    inv = np.asarray(inv)
+    assert max(relative_residual(base[i], inv[i]) for i in range(8)) < 1e-5
+
+    a2 = np.stack([hollow_random_matrix(100, seed=9)])  # pad path
+    i2, ok2 = fused_inverse(_put(a2))
+    assert bool(np.asarray(ok2)[0])
+    assert relative_residual(a2[0], np.asarray(i2)[0]) < 1e-5
+
+    ib, _ = fused_inverse(_put(base).astype(jnp.bfloat16))  # bf16 I/O
+    rb = relative_residual(base[0], np.asarray(ib, dtype=np.float32)[0])
+    assert rb < 5e-3  # bf16 output floor ~2e-4
+
+    _, oks = fused_inverse(_put(np.ones((1, 128, 128), np.float32)))
+    assert not bool(np.asarray(oks)[0])
+
+
 def test_hw_sharded_paths_on_one_device_mesh():
     """The sharded programs executed on the real chip (1-device meshes).
 
