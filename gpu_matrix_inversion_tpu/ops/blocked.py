@@ -696,9 +696,21 @@ def _blocked_inverse_jit(a: jax.Array, *, pivot: bool, block_size: int,
                            use_pallas=use_pallas, interpret=interpret,
                            precision=_PRECISIONS[precision],
                            search_bf16=search_bf16, group_size=group_size)
-    for _ in range(a.ndim - 2):
-        fn = jax.vmap(fn)
-    inv, ok = fn(a)
+    if a.ndim > 2 and use_pallas and not interpret:
+        # jax.vmap of the Pallas factor kernels HANGS on the real v5e
+        # (canaried 2026-08-17 via the sharded path; DESIGN.md section 5) --
+        # on hardware, loop the batch through lax.map instead: a scan whose
+        # body is the UNVMAPPED program the single-matrix path validates.
+        # CPU interpret mode keeps vmap (no Mosaic lowering; faster traces);
+        # tests pin map-vs-vmap parity bit-for-bit.
+        flat = a.reshape((-1,) + a.shape[-2:])
+        inv, ok = lax.map(fn, flat)
+        inv = inv.reshape(a.shape)
+        ok = ok.reshape(a.shape[:-2])
+    else:
+        for _ in range(a.ndim - 2):
+            fn = jax.vmap(fn)
+        inv, ok = fn(a)
     if refine > 0:
         # Newton-Schulz polish: ~12% extra time at 4096 for ~250x residual
         # (1.8e-5 -> 7e-8), paying back the grouped-update accuracy trade.

@@ -57,3 +57,26 @@ def test_blocked_batched():
     inv, ok = blocked_inverse(a, block_size=64)
     assert inv.shape == a.shape
     assert bool(np.all(np.asarray(ok)))
+
+
+def test_blocked_batched_map_matches_vmap():
+    """On TPU, batched blocked inputs loop through lax.map (vmapped Pallas
+    kernels hang the v5e; DESIGN.md section 5) while CPU interpret keeps
+    vmap -- the two lowerings of the same single-matrix body must be
+    bit-identical."""
+    import functools
+    import jax
+    from jax import lax
+    from gpu_matrix_inversion_tpu.ops.blocked import (_PRECISIONS,
+                                                      _blocked_gj)
+
+    a = np.stack([hollow_random_matrix(96, seed=s) for s in (44, 45, 46)])
+    fn = functools.partial(_blocked_gj, pivot=True, b=32, use_pallas=True,
+                           interpret=True,
+                           precision=_PRECISIONS["highest"],
+                           search_bf16=False, group_size=2)
+    inv_map, ok_map = jax.jit(lambda x: lax.map(fn, x))(a)
+    inv_vmap, ok_vmap = jax.jit(jax.vmap(fn))(a)
+    assert bool(np.all(np.asarray(ok_map))) and bool(
+        np.all(np.asarray(ok_vmap)))
+    np.testing.assert_array_equal(np.asarray(inv_map), np.asarray(inv_vmap))
