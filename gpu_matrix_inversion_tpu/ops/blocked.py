@@ -108,7 +108,17 @@ def _panel_factor_kernel(kb_ref, stripT_ref, used_ref, *rest, m: int, b: int,
     (FP32.cpp:68-164).
     """
     if emit_ct:
-        pivrows_ref, ct_ref, ok_ref, w, probe, psel = rest
+        # The ct OUTPUT doubles as the working buffer: rows [0, r0) hold the
+        # already-deposited transform rows, rows [r0, b) the strip still
+        # being eliminated. Sound because the two populations trade places
+        # exactly in step: finished strip rows are never read again (their
+        # values never feed pivot selection or the deferred updates, which
+        # read only LATER rows), and each sub-panel's ct_l lands in the rows
+        # it just finished. Drops the kernel from 3 (b, m) VMEM buffers to
+        # the search kernel's 2, which is what lets ``_emit_fused`` extend
+        # the fused path to b*m <= 64*16384 (the 16384^2 capacity point).
+        pivrows_ref, ct_ref, ok_ref, probe, psel = rest
+        w = ct_ref
     else:
         pivrows_ref, w, probe, psel = rest
     dt = w.dtype
@@ -260,14 +270,18 @@ def _factor_geometry(m: int, b: int):
     return sub, kmask - 1
 
 
-def _emit_fused(m: int, use_pallas: bool, search_bf16: bool) -> bool:
-    """Gate for the fused factor kernel (``_panel_factor``): VMEM holds 3
-    (b, m) buffers (strip in, working copy, C^T out) plus probes, which
-    fits b=128 to m <= 8192 -- exactly the fp32-search regime. Larger m
-    keeps the split search + small-inverse path whose gating was sized for
-    2 buffers. Shared by the single-chip driver and the per-device body of
-    ``parallel/sharded.py`` so the threshold cannot drift between them."""
-    return use_pallas and not search_bf16 and m <= 8192
+def _emit_fused(m: int, b: int, use_pallas: bool, search_bf16: bool) -> bool:
+    """Gate for the fused factor kernel (``_panel_factor``): VMEM holds 2
+    (b, m) fp32 buffers (strip in; C^T out doubling as the working copy)
+    plus probes -- the SAME footprint as the split search kernel, so the
+    fused path reaches wherever the fp32 search does: b*m <= 128*8192
+    (b=128 to m=8192, b=64 to m=16384 -- the capacity point now runs the
+    fused kernel too). The bf16-search regime (m > 16384) keeps the split
+    search + small-inverse path: a bf16 C^T would put ~1e-3 into every
+    value-carrying GEMM, not just the pivot choice. Shared by the
+    single-chip driver and the per-device body of ``parallel/sharded.py``
+    so the threshold cannot drift between them."""
+    return use_pallas and not search_bf16 and b * m <= 128 * 8192
 
 
 def _default_group_size(b: int) -> int:
@@ -347,8 +361,10 @@ def _panel_factor(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
         out_shape=(jax.ShapeDtypeStruct((b, 1), jnp.int32),
                    jax.ShapeDtypeStruct((b, m), strip.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((b, m), strip.dtype),
-                        pltpu.VMEM((sub, m), strip.dtype),
+        # No (b, m) working scratch: the ct output ref doubles as the
+        # working buffer (see _panel_factor_kernel), so the kernel holds
+        # two (b, m) buffers -- the same footprint as the search kernel.
+        scratch_shapes=[pltpu.VMEM((sub, m), strip.dtype),
                         pltpu.VMEM((sub, m), strip.dtype)],
         interpret=interpret,
     )(kb_arr, jnp.swapaxes(strip, -1, -2), used_tile)
@@ -624,7 +640,7 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     num_groups = num_panels // group
     tail = num_panels - num_groups * group
 
-    emit = _emit_fused(m, use_pallas, search_bf16)
+    emit = _emit_fused(m, b, use_pallas, search_bf16)
     group_factor = functools.partial(
         _group_factor, m=m, b=b, dtype=dtype, pivot=pivot,
         use_pallas=use_pallas, interpret=interpret, precision=precision,
@@ -748,11 +764,15 @@ def effective_gemm_flops(n: int, *, block_size: int = DEFAULT_BLOCK_SIZE,
     num_groups = num_panels // group
     tail = num_panels - num_groups * group
     sub, _ = _factor_geometry(m, b)
+    # The fused factor kernel applies panels at rank b; past its gate the
+    # split path applies the [L-P | P] form at rank 2b (see _factor_panel).
+    rank_mult = 1 if _emit_fused(m, b, True, search_bf16) else 2
     fl = 0
     for gsize in [group] * num_groups + ([tail] if tail else []):
         gw = gsize * b
         fl += 2 * m * gw * (m - gw)        # outer composite rank-gw GEMM
-        fl += gsize * 2 * m * b * (gw + b)  # internal rank-b panel updates
+        # Internal panel updates: rank-b (fused C^T) or rank-2b (split).
+        fl += gsize * 2 * m * rank_mult * b * (gw + b)
         # In-kernel deferred dots: per sub-panel two (rows x sub x m)
         # contractions over ~b rows total (later strip rows + finished
         # probe rows), (b/sub) sub-panels per panel.

@@ -84,7 +84,7 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
     num_panels = m // b
     ngroups = num_panels // group
     tail = num_panels - ngroups * group
-    emit = _emit_fused(m, use_pallas, search_bf16)
+    emit = _emit_fused(m, b, use_pallas, search_bf16)
     group_factor = functools.partial(
         _group_factor, m=m, b=b, dtype=dtype, pivot=pivot,
         use_pallas=use_pallas, interpret=False, precision=precision,
