@@ -319,6 +319,11 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
     """Batched inversion on a 2D (dp, tp) mesh: batch sharded over ``dp``,
     augmented columns over ``tp``. ``a`` is (B, n, n); B % dp == 0.
 
+    On dp-only TPU meshes (tp == 1) with matrices inside the fused kernel's
+    VMEM reach, each device runs the single-chip gridded fused kernel on
+    its local batch (``_batched_fused_route``); ``precision``/
+    ``group_size`` apply only to the column-sharded panel body.
+
     Returns ``(inverse (B, n, n), ok (B,))``.
     """
     a = jnp.asarray(a)
@@ -341,6 +346,14 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
     if bsz % dp != 0:
         raise ValueError(f"batch {bsz} not divisible by dp={dp}")
     use_pallas_hw = _mesh_is_tpu(mesh)
+    if _batched_fused_route(tp, n, a.dtype, use_pallas_hw):
+        # dp-only meshes with VMEM-sized matrices: each device inverts its
+        # local batch with the gridded fused kernel (ops/fused) -- the
+        # single-chip headline path, ~10x the per-matrix blocked machinery
+        # at 128^2 -- instead of lax.map over the panel-sharded body.
+        # ``precision``/``group_size`` do not apply (fp32 VMEM compute).
+        run = _sharded_batched_fused_run(mesh, pivot, dp_axis)
+        return run(jax.device_put(a, NamedSharding(mesh, P(dp_axis))))
     b, m, group, use_pallas, search_bf16 = _sharded_params(
         n, block_size, tp, a.dtype, False, group_size)
     use_pallas = use_pallas and use_pallas_hw
@@ -360,6 +373,34 @@ def sharded_batched_inverse(a: jax.Array, *, mesh: Optional[Mesh] = None,
     # See sharded_blocked_inverse: commit to the mesh devices, batch-sharded
     # over dp so each dp group only materializes its own slice.
     return run(jax.device_put(a, NamedSharding(mesh, P(dp_axis))))
+
+
+def _batched_fused_route(tp: int, n: int, dtype, tpu_mesh: bool) -> bool:
+    """True when the batched sharded path should run the gridded fused
+    kernel per device instead of the column-sharded panel body: no tensor
+    parallelism to honor (tp == 1), the matrix fits the fused kernel's
+    VMEM reach, and the mesh is real TPUs (Pallas interpret mode cannot
+    run inside shard_map, so CPU meshes keep the jnp panel body)."""
+    from gpu_matrix_inversion_tpu.ops.fused import FUSED_MAX_N
+    return (tp == 1 and n <= FUSED_MAX_N and tpu_mesh
+            and dtype in (jnp.float32, jnp.bfloat16))
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_batched_fused_run(mesh: Mesh, pivot: bool, dp_axis: str):
+    """Cached jitted dp-sharded fused-batched program (see _sharded_run for
+    why the cache is load-bearing). The per-device body is the single-chip
+    fused path (``ops/fused.fused_inverse``): one gridded Pallas kernel
+    over the local batch -- grid batching, NOT jax.vmap, which hangs the
+    v5e (DESIGN.md section 5)."""
+    from gpu_matrix_inversion_tpu.ops.fused import fused_inverse
+
+    def local(a_loc):
+        return fused_inverse(a_loc, pivot=pivot)
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(dp_axis),
+                   out_specs=(P(dp_axis), P(dp_axis)), check_vma=False)
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)

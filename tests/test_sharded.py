@@ -209,3 +209,18 @@ def test_default_platform_devices_accepts_string_default():
         assert devs and all(d.platform == "cpu" for d in devs)
     finally:
         jax.config.update("jax_default_device", prev)
+
+
+def test_batched_fused_route_gate():
+    """dp-only TPU meshes with VMEM-sized matrices take the gridded fused
+    kernel per device; anything else keeps the column-sharded panel body
+    (CPU meshes cannot run Pallas interpret inside shard_map)."""
+    import jax.numpy as jnp
+    from gpu_matrix_inversion_tpu.parallel.sharded import _batched_fused_route
+
+    assert _batched_fused_route(1, 128, jnp.float32, True)
+    assert _batched_fused_route(1, 640, jnp.bfloat16, True)
+    assert not _batched_fused_route(2, 128, jnp.float32, True)   # tp > 1
+    assert not _batched_fused_route(1, 641, jnp.float32, True)   # past VMEM
+    assert not _batched_fused_route(1, 128, jnp.float32, False)  # CPU mesh
+    assert not _batched_fused_route(1, 128, jnp.float64, True)   # fp64

@@ -209,7 +209,24 @@ def test_hw_sharded_paths_on_one_device_mesh():
 
     mesh2 = make_device_mesh((1, 1), ("dp", "tp"), platform=_dev.platform)
     ab = np.stack([hollow_random_matrix(128, seed=s) for s in (41, 42)])
+    # (b1) dp-only fused fast path: the gridded fused kernel under
+    # shard_map (grid batching inside a mapped body is its own lowering).
     invb, okb = sharded_batched_inverse(jnp.asarray(ab), mesh=mesh2)
     assert bool(np.all(np.asarray(okb)))
     for i in range(2):
         assert relative_residual(ab[i], np.asarray(invb)[i]) < 1e-5
+
+    # (b2) the column-sharded panel body with lax.map over the local batch
+    # (unreachable on a 1-device mesh unless the fused route is forced
+    # off) -- this is the map-of-Pallas lowering this test originally
+    # gated; keep gating it.
+    import gpu_matrix_inversion_tpu.parallel.sharded as sh
+    orig = sh._batched_fused_route
+    sh._batched_fused_route = lambda *a_, **k_: False
+    try:
+        invb2, okb2 = sharded_batched_inverse(jnp.asarray(ab), mesh=mesh2)
+    finally:
+        sh._batched_fused_route = orig
+    assert bool(np.all(np.asarray(okb2)))
+    for i in range(2):
+        assert relative_residual(ab[i], np.asarray(invb2)[i]) < 1e-5
