@@ -764,19 +764,22 @@ def effective_gemm_flops(n: int, *, block_size: int = DEFAULT_BLOCK_SIZE,
     num_groups = num_panels // group
     tail = num_panels - num_groups * group
     sub, _ = _factor_geometry(m, b)
-    # The fused factor kernel applies panels at rank b; past its gate the
-    # split path applies the [L-P | P] form at rank 2b (see _factor_panel).
-    rank_mult = 1 if _emit_fused(m, b, True, search_bf16) else 2
+    # Past the fused kernel's gate, the split path assembles C^T from the
+    # (b, b) block inverse with one extra (m, b) @ (b, b) GEMM per panel
+    # (_factor_panel's cmat); the panel application itself is the same
+    # rank-b dot_general on both paths.
+    emit = _emit_fused(m, b, True, search_bf16)
     fl = 0
     for gsize in [group] * num_groups + ([tail] if tail else []):
         gw = gsize * b
         fl += 2 * m * gw * (m - gw)        # outer composite rank-gw GEMM
-        # Internal panel updates: rank-b (fused C^T) or rank-2b (split).
-        fl += gsize * 2 * m * rank_mult * b * (gw + b)
+        fl += gsize * 2 * m * b * (gw + b)  # internal rank-b panel updates
         # In-kernel deferred dots: per sub-panel two (rows x sub x m)
         # contractions over ~b rows total (later strip rows + finished
         # probe rows), (b/sub) sub-panels per panel.
         fl += gsize * (b // sub) * 2 * (2 * b * sub * m)
+        if not emit:
+            fl += gsize * 2 * m * b * b     # split-path cmat assembly
     return fl
 
 

@@ -33,8 +33,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Largest padded N whose (m, 2m) fp32 augmented system + in/out blocks fit
-# in ~16 MB VMEM.
+# Largest padded N the fused kernel serves. Sized when the kernel carried
+# the (m, 2m) augmented system; the in-place (m, m) layout (~20*m^2 bytes
+# per system with double-buffered I/O, see _pack_for) would fit ~768, but
+# the blocked path already wins above ~512 for single matrices, so the cap
+# stays until the batched mid-size regime is measured on hardware.
 FUSED_MAX_N = 640
 
 
@@ -311,10 +314,11 @@ def fused_inverse(a: jax.Array, *, pivot: bool = True):
     """Invert ``(..., n, n)`` fp32/bf16 matrices with the fused VMEM kernel.
 
     Mirrors the reference's FP32 pivoted Gauss-Jordan entry point
-    (``matrix_inversion_FP32.cpp:12``, kernel chain :17-226) with the whole
-    ``[A | I]`` system VMEM-resident and the r-loop inside ONE kernel —
-    versus the reference's 5 kernel launches + 3 host syncs per iteration
-    (``FP32_bench.cpp:342-405``). ``pivot=False`` is the
+    (``matrix_inversion_FP32.cpp:12``, kernel chain :17-226) with the
+    system VMEM-resident IN-PLACE (an (m, m) buffer, not the reference's
+    augmented ``[A | I]``; see ``_gj_kernel``) and the r-loop inside ONE
+    kernel — versus the reference's 5 kernel launches + 3 host syncs per
+    iteration (``FP32_bench.cpp:342-405``). ``pivot=False`` is the
     ``matrix_inversion_no_pivots.cpp:10`` variant.
 
     Returns ``(inverse, ok)``. Raises ``NotImplementedError`` for dtypes or

@@ -390,17 +390,29 @@ def _batched_fused_route(tp: int, n: int, dtype, tpu_mesh: bool) -> bool:
 def _sharded_batched_fused_run(mesh: Mesh, pivot: bool, dp_axis: str):
     """Cached jitted dp-sharded fused-batched program (see _sharded_run for
     why the cache is load-bearing). The per-device body is the single-chip
-    fused path (``ops/fused.fused_inverse``): one gridded Pallas kernel
+    fused kernel (``ops/fused._fused_batched``): one gridded Pallas kernel
     over the local batch -- grid batching, NOT jax.vmap, which hangs the
-    v5e (DESIGN.md section 5)."""
-    from gpu_matrix_inversion_tpu.ops.fused import fused_inverse
+    v5e (DESIGN.md section 5). interpret=False is forced explicitly: the
+    route gate already proved the mesh is real TPUs, and fused_inverse's
+    global ``tpu_available()`` auto-detection keys off the process default
+    device, which may be pinned to CPU while the mesh is TPU -- interpret
+    mode cannot run inside shard_map."""
+    from gpu_matrix_inversion_tpu.ops.fused import _fused_batched
 
     def local(a_loc):
-        return fused_inverse(a_loc, pivot=pivot)
+        return _fused_batched(a_loc, pivot=pivot, interpret=False)
 
     fn = shard_map(local, mesh=mesh, in_specs=P(dp_axis),
                    out_specs=(P(dp_axis), P(dp_axis)), check_vma=False)
-    return jax.jit(fn)
+
+    @jax.jit
+    def run(a):
+        # Trace in 32-bit land like fused_inverse: Mosaic cannot legalize
+        # the i64 index plumbing x64 mode threads through grid index maps.
+        with jax.enable_x64(False):
+            return fn(a)
+
+    return run
 
 
 @functools.lru_cache(maxsize=64)

@@ -163,26 +163,34 @@ def test_hw_fused_batched_inverse():
     this kernel interpret-only with pack=1, so Mosaic lowering of the
     unrolled pack bodies and the in-place slot deposit (transform column
     written over the just-eliminated left column) is only exercised here."""
-    from gpu_matrix_inversion_tpu.ops.fused import fused_inverse
+    from gpu_matrix_inversion_tpu.ops.fused import _fused_batched
     from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
     from gpu_matrix_inversion_tpu.utils.residual import relative_residual
 
+    def run(x, pivot=True):
+        # interpret=False explicitly: the conftest pins the process default
+        # device to CPU, so fused_inverse's tpu_available() auto-detection
+        # would silently select interpret mode and this oracle would never
+        # compile the kernel. Committed inputs put execution on the TPU.
+        with jax.enable_x64(False):
+            return _fused_batched(_put(x), pivot=pivot, interpret=False)
+
     base = np.stack([hollow_random_matrix(128, seed=i) for i in range(8)])
-    inv, ok = fused_inverse(_put(base))
+    inv, ok = run(base)
     assert bool(np.all(np.asarray(ok)))
     inv = np.asarray(inv)
     assert max(relative_residual(base[i], inv[i]) for i in range(8)) < 1e-5
 
     a2 = np.stack([hollow_random_matrix(100, seed=9)])  # pad path
-    i2, ok2 = fused_inverse(_put(a2))
+    i2, ok2 = run(a2)
     assert bool(np.asarray(ok2)[0])
     assert relative_residual(a2[0], np.asarray(i2)[0]) < 1e-5
 
-    ib, _ = fused_inverse(_put(base).astype(jnp.bfloat16))  # bf16 I/O
+    ib, _ = run(base.astype(jnp.bfloat16))  # bf16 I/O
     rb = relative_residual(base[0], np.asarray(ib, dtype=np.float32)[0])
     assert rb < 5e-3  # bf16 output floor ~2e-4
 
-    _, oks = fused_inverse(_put(np.ones((1, 128, 128), np.float32)))
+    _, oks = run(np.ones((1, 128, 128), np.float32))
     assert not bool(np.asarray(oks)[0])
 
 
