@@ -255,7 +255,15 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, buf, *, m: int, pivot: bool,
 def _pack_for(m: int) -> int:
     """Systems per kernel program: as many as VMEM comfortably holds
     (~20*m^2 bytes each for the in-place scratch + double-buffered I/O;
-    the budget divisor keeps headroom for compiler temporaries)."""
+    the budget divisor keeps headroom for compiler temporaries).
+
+    ``MATINV_FUSED_PACK`` overrides for tuning sweeps (read at trace time:
+    changing it between same-shape calls in one process will NOT retrace).
+    """
+    import os
+    override = os.environ.get("MATINV_FUSED_PACK")
+    if override:
+        return max(1, int(override))
     budget = 12 * 1024 * 1024
     return max(1, min(8, budget // (24 * m * m)))
 
