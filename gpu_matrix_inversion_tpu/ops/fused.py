@@ -311,10 +311,17 @@ def _fused_batched(a, *, pivot: bool, interpret: bool):
     # at physical row pos[g]; physical column t holds natural column pos[t]
     # (the slot deposited at step t tracks right-half column pos[t] of the
     # reference's augmented system), so columns gather by the INVERSE
-    # permutation -- argsort of a permutation is its inverse.
+    # permutation -- argsort of a permutation is its inverse. The column
+    # gather runs as transpose -> SUBLANE gather -> transpose: a direct
+    # axis=2 (lane-dimension) gather with traced indices is the pattern
+    # XLA:TPU has lowered to a serial per-column loop before (measured 490x
+    # in parallel/sharded.py's shift_cols postmortem), while transposes are
+    # cheap vector ops.
     ipos = jnp.argsort(pos[:, :, 0], axis=1).astype(jnp.int32)
     inv = jnp.take_along_axis(inv, pos, axis=1)
-    inv = jnp.take_along_axis(inv, ipos[:, None, :], axis=2)
+    inv_t = jnp.swapaxes(inv, -1, -2)
+    inv_t = jnp.take_along_axis(inv_t, ipos[:, :, None], axis=1)
+    inv = jnp.swapaxes(inv_t, -1, -2)
     return inv[:b0, :n, :n], ok[:b0, 0, 0] > 0
 
 
