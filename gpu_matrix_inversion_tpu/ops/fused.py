@@ -273,8 +273,14 @@ def _fused_batched(a, *, pivot: bool, interpret: bool):
     b0, n, _ = a.shape
     m = max(_round_up(n, 128), 128)
     # Interpret mode (CPU tests) evaluates the unrolled pack bodies serially
-    # -- no latency to hide, just slower traces -- so keep it at 1 there.
-    pack = 1 if interpret else _pack_for(m)
+    # -- no latency to hide, just slower traces -- so keep it at 1 there,
+    # unless MATINV_FUSED_PACK explicitly asks for more (lets the CPU suite
+    # exercise the multi-system block indexing the TPU always uses).
+    import os
+    if interpret and not os.environ.get("MATINV_FUSED_PACK"):
+        pack = 1
+    else:
+        pack = _pack_for(m)
     b = ((b0 + pack - 1) // pack) * pack
     if m != n or b != b0:
         # Pad to blockdiag(A, I): inverse is blockdiag(inv(A), I) and padded

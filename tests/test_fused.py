@@ -82,3 +82,21 @@ def test_blocked_bfloat16_io():
     r = np.linalg.norm(a64 @ inv64 - np.eye(160)) / (
         np.linalg.norm(a64) * np.linalg.norm(inv64))
     assert r < 5e-3  # bf16 output quantization floor
+
+
+def test_fused_pack_gt1_interpret(monkeypatch):
+    """The unrolled multi-system kernel body (pack > 1, what the TPU always
+    runs) exercised in interpret mode: 3 systems at pack=2 forces one
+    identity-padded program and multi-system block indexing."""
+    monkeypatch.setenv("MATINV_FUSED_PACK", "2")
+    from gpu_matrix_inversion_tpu.ops import fused
+    fused._fused_batched.clear_cache()
+    try:
+        a = np.stack([hollow_random_matrix(96, seed=s) for s in (7, 8, 9)])
+        inv, ok = fused_inverse(a)
+        assert bool(np.all(np.asarray(ok)))
+        for i in range(3):
+            assert relative_residual(a[i], np.asarray(inv)[i]) < 1e-5
+    finally:
+        monkeypatch.delenv("MATINV_FUSED_PACK")
+        fused._fused_batched.clear_cache()
