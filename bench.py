@@ -78,6 +78,9 @@ def _amortized(make_fn, a, k1: int = 1, k2: int = 5, reps: int = 2) -> tuple:
 
 
 def main() -> None:
+    from gpu_matrix_inversion_tpu.utils.config import enable_compile_cache
+    enable_compile_cache()  # cold compiles here are 20-70 s each over the
+    # tunnel; the persistent cache makes re-runs ~1 s/program (config.py).
     from gpu_matrix_inversion_tpu.ops.fused import fused_inverse
     from gpu_matrix_inversion_tpu.ops.blocked import (blocked_inverse,
                                                       effective_gemm_flops)

@@ -95,6 +95,8 @@ def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
     import jax
     import jax.numpy as jnp
     from jax import lax
+    from gpu_matrix_inversion_tpu.utils.config import enable_compile_cache
+    enable_compile_cache()  # every new shape recompiles; persist them
     from gpu_matrix_inversion_tpu.models.solver import inverse
     from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
     from gpu_matrix_inversion_tpu.utils.residual import (

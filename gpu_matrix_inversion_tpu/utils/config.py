@@ -57,3 +57,36 @@ class InversionConfig:
         if self.block_size <= 0 or self.repeat <= 0:
             raise ValueError("block_size and repeat must be positive")
         return self
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    The benchmark drivers (bench.py, benchmarks/sweep.py) compile a dozen
+    large programs per process; on the tunneled v5e each cold compile is
+    20-70 s, which is both slow and wedge-prone if the process is killed
+    mid-compile. The persistent cache turns re-runs into ~1 s loads
+    (measured: 69 s cold -> 1.1 s warm on axon). The reference has no
+    analog -- OpenCL JIT-compiles its kernel strings every call
+    (``FP32_bench.cpp:280-293``); this is the TPU-native fix for that
+    same per-process compile tax.
+
+    Disable with ``MATINV_COMPILE_CACHE=0``; relocate with
+    ``MATINV_COMPILE_CACHE_DIR``. Returns the directory used, or None
+    when disabled/unsupported.
+    """
+    if os.environ.get("MATINV_COMPILE_CACHE", "1").lower() in (
+            "0", "false", "no", "off"):
+        return None
+    if cache_dir is None:
+        cache_dir = os.environ.get("MATINV_COMPILE_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        return None
+    return cache_dir
