@@ -4,11 +4,20 @@ This is the TPU answer to the reference's dominant overhead: the OpenCL host
 loop enqueues 5 kernels and pays 3 ``commandQueue.finish()`` host syncs per
 iteration, N iterations per inversion (``FP32_bench.cpp:342-405``; SURVEY.md
 section 3.1 calls this out as the root cause of losing to LAPACK). Here the
-system lives in an (m, m) VMEM scratch buffer -- IN-PLACE Gauss-Jordan, not
-the reference's (m, 2m) augmented ``[A|I]`` layout: each step deposits its
-transform column into the left column it just eliminated -- and the entire
-r-loop runs inside ONE Pallas kernel: zero kernel launches, zero host syncs,
-zero HBM round-trips between iterations, half the VPU work per step.
+whole augmented ``[A | I]`` system lives in an (m, 2m) VMEM scratch buffer
+and the entire r-loop runs inside ONE Pallas kernel: zero kernel launches,
+zero host syncs, zero HBM round-trips between iterations.
+
+Layout note (measured, v5e): an IN-PLACE (m, m) variant -- each step
+depositing its transform column into the left column it just eliminated,
+halving VMEM and per-step element count -- was built and benchmarked at
+20.7-21.5k inversions/s on the 4096x128^2 batch versus 24.8k for this
+augmented layout, with a worse residual when the deposit is folded into the
+elimination pass (catastrophic cancellation: the slot value col/piv emerges
+from subtracting quantities ~col). The kernel is latency-bound at m = 128:
+per-step cost is the number of dependent vector ops, not the elements they
+touch, and the in-place form needs an extra full-matrix select (or a
+cancellation-prone fold) per step. The augmented layout wins on hardware.
 
 Data-dependent pivoting is expressed TPU-style with zero divergent branches
 and zero row movement: the pivot column is carried between steps, the pivot
@@ -33,11 +42,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Largest padded N the fused kernel serves. Sized when the kernel carried
-# the (m, 2m) augmented system; the in-place (m, m) layout (~20*m^2 bytes
-# per system with double-buffered I/O, see _pack_for) would fit ~768, but
-# the blocked path already wins above ~512 for single matrices, so the cap
-# stays until the batched mid-size regime is measured on hardware.
+# Largest padded N whose (m, 2m) fp32 augmented system + in/out blocks fit
+# in ~16 MB scoped VMEM.
 FUSED_MAX_N = 640
 
 
@@ -131,54 +137,47 @@ def gj_eliminate(aug, rows_n: int, cols_n: int, *, pivot: bool):
     return lax.fori_loop(jnp.int32(0), jnp.int32(rows_n), step, jnp.int32(1))
 
 
-def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, buf, *, m: int, pivot: bool,
+def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, aug, *, m: int, pivot: bool,
                pack: int):
-    """Kernel body: IN-PLACE pivoted Gauss-Jordan on ``pack`` (m, m) systems.
-
-    In-place: instead of carrying the reference's (m, 2m) augmented
-    ``[A | I]`` system (makeAugmentedMatrix, FP32.cpp:198-215), each step r
-    deposits its transform column -- the evolution of the right-half column
-    the reference would have touched -- into left column r, which that same
-    step just finished eliminating (it would otherwise freeze as a trivial
-    one-hot). This is the blocked path's windowed slot layout taken to its
-    limit: the live window is the WHOLE (m, m) buffer at every step, so
-    per-step VPU work, VMEM traffic, and scratch all halve versus the
-    augmented layout (the kernel is work-bound at pack=8: measured 24.8k ->
-    ~2x expected inversions/s at 128^2). The final buffer is the inverse up
-    to one row and one column permutation (see ``_fused_batched``).
+    """Kernel body: pivoted Gauss-Jordan on ``pack`` (m, 2m) systems.
 
     Swap-free: rows never move (a used-row mask replaces the reference's
     pivotElementsKernel -- selecting the max-|value| row among unused rows
     is the same pivot sequence as partial pivoting with exchanges); the
-    caller reorders the inverse once with the emitted position vector.
+    caller reorders the inverse rows once with the emitted position vector.
 
     ``pack`` independent systems are processed per program with their bodies
     interleaved by the compiler: the path is bound by each step's reduction
     -> scalar -> broadcast dependency chain, so multiple chains in flight
     hide the latency (pack=8 measures +37% throughput over pack=1 on v5e).
     """
-    f32 = buf.dtype  # always float32: bf16 inputs compute in an fp32
+    f32 = aug.dtype  # always float32: bf16 inputs compute in an fp32
     # scratch (bf16 VECTOR arithmetic in this kernel miscompiles on the
     # Mosaic toolchain; casting at the load/store boundary sidesteps it
     # and is more accurate anyway -- bf16 is an I/O format here).
-    # NOTE: fresh (m, m) iotas -- lane-slicing a larger broadcasted_iota
-    # value crashes the Mosaic compiler on this toolchain.
-    lane = lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    sub = lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    # makeAugmentedMatrix (reference FP32.cpp:198-215): [A | I] in VMEM.
+    # NOTE: build the eye from fresh (m, m) iotas -- lane-slicing a larger
+    # broadcasted_iota value crashes the Mosaic compiler on this toolchain.
+    li = lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    si = lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    eye = jnp.where(li == si, jnp.ones((m, m), f32), jnp.zeros((m, m), f32))
+    lane = lax.broadcasted_iota(jnp.int32, (m, 2 * m), 1)
+    sub = lax.broadcasted_iota(jnp.int32, (m, 2 * m), 0)
     rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    lane_row = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    lane_row = lax.broadcasted_iota(jnp.int32, (1, 2 * m), 1)
     kmask = 1
     while kmask < m:
         kmask *= 2
     kmask -= 1  # next_pow2(m) - 1: the row-index field of the packed key
 
     for s in range(pack):
-        buf[s] = a_ref[s].astype(f32)
+        aug[s, :, :m] = a_ref[s].astype(f32)
+        aug[s, :, m:] = eye
         pos_ref[s] = rows
 
     def one(s, r, used, ok, col):
         """One elimination step of system s (carried pivot column)."""
-        full = buf[s]
+        full = aug[s]
         if pivot:
             # maxPivot/finalMaxPivot (FP32.cpp:68-142) over UNUSED rows, as
             # ONE packed-key max reduction: the int32 bit pattern of a
@@ -201,26 +200,19 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, buf, *, m: int, pivot: bool,
         # fixRowKernel (FP32.cpp:150-164): normalize pivot row p in place;
         # the pivot value comes from the extracted row (cheap lane reduce).
         pivot_row = jnp.sum(jnp.where(sub == p, full, jnp.zeros_like(full)),
-                            axis=0, keepdims=True)  # (1, m)
+                            axis=0, keepdims=True)  # (1, 2m)
         piv = jnp.sum(jnp.where(lane_row == r, pivot_row,
                                 jnp.zeros_like(pivot_row)))
         ok = ok * (piv != 0).astype(jnp.int32)
         piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)
-        inv_piv = jnp.float32(1) / piv_safe
-        norm_row = pivot_row * inv_piv
+        norm_row = pivot_row / piv_safe
 
         # fixColumnKernel (FP32.cpp:17-63): rank-1 eliminate all other rows
         # and deposit the normalized pivot row, one fused pass -- which also
         # yields the NEXT pivot column while the updated values are live.
-        # Column r itself takes the transform (slot) column instead of the
-        # trivial one-hot the elimination would freeze there: entry 1/piv at
-        # the pivot row, -col/piv elsewhere -- exactly the right-half column
-        # this step starts evolving in the augmented layout.
         factors = jnp.where(rows == p, jnp.zeros_like(col), col)
         new_full = jnp.where(sub == p, norm_row, full - factors * norm_row)
-        slot = jnp.where(rows == p, inv_piv, -col * inv_piv)  # (m, 1)
-        new_full = jnp.where(lane == r, slot, new_full)
-        buf[s] = new_full
+        aug[s] = new_full
         col_next = jnp.sum(jnp.where(lane == r + 1, new_full,
                                      jnp.zeros_like(new_full)),
                            axis=1, keepdims=True)
@@ -231,16 +223,15 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, buf, *, m: int, pivot: bool,
 
     init = tuple(
         (jnp.zeros((m, 1), jnp.float32), jnp.int32(1),
-         jnp.sum(jnp.where(lane == 0, buf[s], jnp.zeros((m, m), f32)),
+         jnp.sum(jnp.where(lane == 0, aug[s], jnp.zeros((m, 2 * m), f32)),
                  axis=1, keepdims=True))
         for s in range(pack))
     fin = lax.fori_loop(jnp.int32(0), jnp.int32(m), step, init)
 
-    # getInvertedMatrix (FP32.cpp:216-226): the buffer IS the inverse, in
-    # pivot-row order with columns in pivot order (the caller gathers both
-    # axes by pos to restore natural order).
+    # getInvertedMatrix (FP32.cpp:216-226): right half, still in pivot-row
+    # order (the caller gathers rows by pos to restore natural order).
     for s in range(pack):
-        inv = buf[s]
+        inv = aug[s][:, m:]
         # Finite check without bool reductions (Mosaic-friendly): 0*x sums
         # to 0 iff every element is finite.
         probe = jnp.sum(inv * jnp.zeros_like(inv))
@@ -254,7 +245,7 @@ def _gj_kernel(a_ref, inv_ref, pos_ref, ok_ref, buf, *, m: int, pivot: bool,
 
 def _pack_for(m: int) -> int:
     """Systems per kernel program: as many as VMEM comfortably holds
-    (~20*m^2 bytes each for the in-place scratch + double-buffered I/O;
+    (~32*m^2 bytes each for the augmented scratch + double-buffered I/O;
     the budget divisor keeps headroom for compiler temporaries).
 
     ``MATINV_FUSED_PACK`` overrides for tuning sweeps (read at trace time:
@@ -265,7 +256,7 @@ def _pack_for(m: int) -> int:
     if override:
         return max(1, int(override))
     budget = 12 * 1024 * 1024
-    return max(1, min(8, budget // (24 * m * m)))
+    return max(1, min(8, budget // (32 * m * m)))
 
 
 @functools.partial(jax.jit, static_argnames=("pivot", "interpret"))
@@ -310,24 +301,11 @@ def _fused_batched(a, *, pivot: bool, interpret: bool):
             jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((pack, m, m), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((pack, m, 2 * m), jnp.float32)],
         interpret=interpret,
     )(a)
-    # Undo the logical permutations of the in-place layout: natural row g is
-    # at physical row pos[g]; physical column t holds natural column pos[t]
-    # (the slot deposited at step t tracks right-half column pos[t] of the
-    # reference's augmented system), so columns gather by the INVERSE
-    # permutation -- argsort of a permutation is its inverse. The column
-    # gather runs as transpose -> SUBLANE gather -> transpose: a direct
-    # axis=2 (lane-dimension) gather with traced indices is the pattern
-    # XLA:TPU has lowered to a serial per-column loop before (measured 490x
-    # in parallel/sharded.py's shift_cols postmortem), while transposes are
-    # cheap vector ops.
-    ipos = jnp.argsort(pos[:, :, 0], axis=1).astype(jnp.int32)
+    # Undo the logical permutation: inverse row g is at physical row pos[g].
     inv = jnp.take_along_axis(inv, pos, axis=1)
-    inv_t = jnp.swapaxes(inv, -1, -2)
-    inv_t = jnp.take_along_axis(inv_t, ipos[:, :, None], axis=1)
-    inv = jnp.swapaxes(inv_t, -1, -2)
     return inv[:b0, :n, :n], ok[:b0, 0, 0] > 0
 
 
@@ -335,11 +313,10 @@ def fused_inverse(a: jax.Array, *, pivot: bool = True):
     """Invert ``(..., n, n)`` fp32/bf16 matrices with the fused VMEM kernel.
 
     Mirrors the reference's FP32 pivoted Gauss-Jordan entry point
-    (``matrix_inversion_FP32.cpp:12``, kernel chain :17-226) with the
-    system VMEM-resident IN-PLACE (an (m, m) buffer, not the reference's
-    augmented ``[A | I]``; see ``_gj_kernel``) and the r-loop inside ONE
-    kernel — versus the reference's 5 kernel launches + 3 host syncs per
-    iteration (``FP32_bench.cpp:342-405``). ``pivot=False`` is the
+    (``matrix_inversion_FP32.cpp:12``, kernel chain :17-226) with the whole
+    ``[A | I]`` system VMEM-resident and the r-loop inside ONE kernel —
+    versus the reference's 5 kernel launches + 3 host syncs per iteration
+    (``FP32_bench.cpp:342-405``). ``pivot=False`` is the
     ``matrix_inversion_no_pivots.cpp:10`` variant.
 
     Returns ``(inverse, ok)``. Raises ``NotImplementedError`` for dtypes or

@@ -157,12 +157,11 @@ def test_hw_panel_factor_composite():
 
 
 def test_hw_fused_batched_inverse():
-    """The in-place fused batched kernel compiled on hardware (the headline
-    path, BASELINE configs[2]): residual vs numpy at pack=8, the padded
+    """The fused batched kernel compiled on hardware (the headline path,
+    BASELINE configs[2]): residual vs numpy at pack=8, the padded
     non-pow2 route, bf16 I/O, and the singular flag. The CPU suite runs
     this kernel interpret-only with pack=1, so Mosaic lowering of the
-    unrolled pack bodies and the in-place slot deposit (transform column
-    written over the just-eliminated left column) is only exercised here."""
+    unrolled pack bodies is only exercised here."""
     from gpu_matrix_inversion_tpu.ops.fused import _fused_batched
     from gpu_matrix_inversion_tpu.utils.generators import hollow_random_matrix
     from gpu_matrix_inversion_tpu.utils.residual import relative_residual
