@@ -156,9 +156,71 @@ def lu_solve_matrix(a: jax.Array, b: jax.Array, *, pivot: bool = True):
 
 
 # --------------------------------------------------------------------------
-# Blocked LU: the performance getrf/getrs (pure XLA -- fori panels + rank-b
-# MXU trailing updates; same logical-permutation design as ops/blocked.py).
+# Blocked LU: the performance getrf/getrs (fori panels + rank-b MXU trailing
+# updates; same logical-permutation design as ops/blocked.py). On TPU the
+# panel pivots come from the SAME Pallas search kernel as the blocked
+# Gauss-Jordan path -- partial-pivoted GJ and LU choose identical pivot
+# sequences (the search only ever reads not-yet-pivoted rows, whose values
+# evolve identically under both eliminations) -- and the panel's L/U content
+# is then assembled algebraically from a small (b, b) no-pivot LU kernel
+# plus two triangular solves, replacing the b-step host-level jnp loop that
+# made the factor 45.9 of getri's 54.1 ms at 4096^2 (round 3, v5e).
 # --------------------------------------------------------------------------
+
+
+def _small_lu_kernel(a_ref, out_ref, ok_ref, *, b: int):
+    """No-pivot LU of a (b, b) block in VMEM, LAPACK-packed (getrf's
+    recursion base; pivot order was already fixed by the search kernel).
+    The out ref doubles as the working buffer."""
+    dt = out_ref.dtype
+    lane = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    sub = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    rows = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    out_ref[:, :] = a_ref[:, :]
+
+    def step(r, ok):
+        full = out_ref[:, :]
+        col = jnp.sum(jnp.where(lane == r, full, jnp.zeros_like(full)),
+                      axis=1, keepdims=True)           # (b, 1)
+        piv = jnp.sum(jnp.where(rows == r, col, jnp.zeros_like(col)))
+        ok = ok * (piv != 0).astype(jnp.int32)
+        piv_safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)
+        row_r = jnp.sum(jnp.where(sub == r, full, jnp.zeros_like(full)),
+                        axis=0, keepdims=True)         # (1, b)
+        f = jnp.where(rows > r, col / piv_safe, jnp.zeros_like(col))
+        # Eliminate the trailing columns; deposit the multipliers in column
+        # r below the diagonal. The deposit mask is a PRODUCT of 1-D masks
+        # (a broadcast 2D bool `and` trips a Mosaic relayout bug).
+        new_full = full - jnp.where(lane > r, f * row_r,
+                                    jnp.zeros_like(full))
+        colmask = (lane == r).astype(dt) * (sub > r).astype(dt)
+        out_ref[:, :] = new_full * (1 - colmask) + colmask * f
+        return ok
+
+    ok = lax.fori_loop(jnp.int32(0), jnp.int32(b), step, jnp.int32(1))
+    # Finite probe: 0*x sums to 0 iff every element is finite.
+    probe = jnp.sum(out_ref[:, :] * jnp.zeros((b, b), dt))
+    ok_ref[:, :] = jnp.broadcast_to(ok * (probe == 0).astype(jnp.int32),
+                                    (1, 1))
+
+
+def _small_lu(dblk: jax.Array, *, interpret: bool):
+    """Pallas (b, b) no-pivot packed LU; returns ``(packed, ok_bool)``."""
+    import functools as _ft
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    b = dblk.shape[-1]
+    kernel = _ft.partial(_small_lu_kernel, b=b)
+    packed, ok = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, b), dblk.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        interpret=interpret,
+    )(dblk)
+    return packed, ok[0, 0] > 0
 
 def _lu_panel(strip, used, kb, *, m: int, b: int, pivot: bool):
     """Factor an (m, b) panel with no-swap partial pivoting.
@@ -202,7 +264,8 @@ def _lu_panel(strip, used, kb, *, m: int, b: int, pivot: bool):
     return w, pivrows, used, ok
 
 
-def _lu_factor_blocked_2d(a, *, b: int, pivot: bool):
+def _lu_factor_blocked_2d(a, *, b: int, pivot: bool, use_pallas: bool = False,
+                          interpret: bool = False, search_bf16: bool = False):
     n = a.shape[-1]
     m = max(((n + b - 1) // b) * b, b)
     dtype = a.dtype
@@ -216,31 +279,75 @@ def _lu_factor_blocked_2d(a, *, b: int, pivot: bool):
     lane_b1 = lax.broadcasted_iota(jnp.int32, (1, b), 1)
     tri_b = (lax.broadcasted_iota(jnp.int32, (b, b), 0)
              > lax.broadcasted_iota(jnp.int32, (b, b), 1))
+    hp = jax.lax.Precision.HIGHEST
 
     def panel_step(k, carry):
         lu, used, pos, ok = carry
         kb = k.astype(jnp.int32) * b
         used_before = used
         strip = lax.dynamic_slice(lu, (_i0, kb), (m, b))
-        w, pivrows, used, okp = _lu_panel(strip, used, kb, m=m, b=b,
-                                          pivot=pivot)
-        ok = jnp.logical_and(ok, okp)
+
+        if use_pallas:
+            # Pivot rows from the shared Pallas search kernel
+            # (ops/blocked._pivot_search): GJ and LU partial pivoting pick
+            # identical sequences, since the search reads only
+            # not-yet-pivoted rows and those receive the same rank-1
+            # updates under both schemes.
+            from gpu_matrix_inversion_tpu.ops.blocked import _pivot_search
+            if pivot:
+                search = (strip.astype(jnp.bfloat16) if search_bf16
+                          else strip)
+                pivrows = _pivot_search(search, kb, used, m=m, b=b,
+                                        pivot=True, interpret=interpret)
+            else:
+                pivrows = kb + lax.broadcasted_iota(jnp.int32, (b,), 0)
+            # Panel content assembled algebraically: the pivot-row block
+            # dblk = L11 @ U11 factors in a small VMEM kernel; the
+            # multipliers for every other row are A21 @ U11^-1 (exactly
+            # the values sequential elimination would produce).
+            dblk = jnp.take(strip, pivrows, axis=0)
+            packed, okp = _small_lu(dblk, interpret=interpret)
+            ok = jnp.logical_and(ok, okp)
+            l11 = (jnp.where(tri_b, packed, jnp.zeros_like(packed))
+                   + jnp.eye(b, dtype=dtype))
+            u11 = jnp.where(tri_b, jnp.zeros_like(packed), packed)
+            lall = lax.linalg.triangular_solve(
+                u11, strip, left_side=False, lower=False)
+            order = jnp.full((m,), b, jnp.int32).at[pivrows].set(
+                jnp.arange(b, dtype=jnp.int32))
+            lmask = (order[:, None] > lane_b1).astype(dtype)
+            l_trunc = lall * lmask * (1 - used_before.astype(dtype))
+            # Packed panel write-back: frozen prior-U rows keep their strip
+            # values; this panel's pivot rows get [L11 strictly-lower |
+            # U11] (l_trunc supplies the L part, the one-hot GEMM deposits
+            # U11); unpivoted rows get their full multiplier rows.
+            psel = (rows == pivrows[None, :]).astype(dtype)   # (m, b)
+            w = (strip * used_before.astype(dtype) + l_trunc
+                 + jnp.matmul(psel, u11, preferred_element_type=dtype,
+                              precision=hp))
+            used = used + jnp.sum(psel, axis=1,
+                                  keepdims=True).astype(jnp.float32)
+        else:
+            w, pivrows, used, okp = _lu_panel(strip, used, kb, m=m, b=b,
+                                              pivot=pivot)
+            ok = jnp.logical_and(ok, okp)
+
+            # Truncated multiplier matrix: L[i, r] is live iff row i was
+            # eliminated at step r (still unpivoted then, and not used
+            # before the panel).
+            order = jnp.full((m,), b, jnp.int32).at[pivrows].set(
+                jnp.arange(b, dtype=jnp.int32))
+            lmask = (order[:, None] > lane_b1).astype(dtype)
+            l_trunc = w * lmask * (1 - used_before.astype(dtype))
+            l11 = jnp.where(tri_b, jnp.take(w, pivrows, axis=0),
+                            jnp.zeros((b, b), dtype))
+            l11 = l11 + jnp.eye(b, dtype=dtype)
+
         lu = lax.dynamic_update_slice(lu, w, (_i0, kb))
         pos = lax.dynamic_update_slice(pos, pivrows, (kb,))
 
-        # Truncated multiplier matrix: L[i, r] is live iff row i was
-        # eliminated at step r (still unpivoted then, and not used before
-        # the panel).
-        order = jnp.full((m,), b, jnp.int32).at[pivrows].set(
-            jnp.arange(b, dtype=jnp.int32))
-        lmask = (order[:, None] > lane_b1).astype(dtype)
-        l_trunc = w * lmask * (1 - used_before.astype(dtype))
-
         # U rows for the trailing columns: unit-lower solve against the
         # panel-local multiplier block.
-        l11 = jnp.where(tri_b, jnp.take(w, pivrows, axis=0),
-                        jnp.zeros((b, b), dtype))
-        l11 = l11 + jnp.eye(b, dtype=dtype)
         arows = jnp.take(lu, pivrows, axis=0)  # (b, m)
         u_all = lax.linalg.triangular_solve(
             l11, arows, left_side=True, lower=True, unit_diagonal=True)
@@ -250,7 +357,7 @@ def _lu_factor_blocked_2d(a, *, b: int, pivot: bool):
         # right partial sums to this panel's own pivot rows too (their rest
         # columns become U rows).
         lu = lu - jnp.matmul(l_trunc, u_rest, preferred_element_type=dtype,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=hp)
         return lu, used, pos, ok
 
     used0 = jnp.zeros((m, 1), jnp.float32)
@@ -265,20 +372,54 @@ def _lu_factor_blocked_2d(a, *, b: int, pivot: bool):
     return lu, perm, ok
 
 
-@functools.partial(jax.jit, static_argnames=("pivot", "block_size"))
+@functools.partial(jax.jit, static_argnames=("pivot", "b", "use_pallas",
+                                             "interpret", "search_bf16"))
+def _lu_factor_blocked_jit(a, *, pivot: bool, b: int, use_pallas: bool,
+                           interpret: bool, search_bf16: bool):
+    batch, n = a.shape[:-2], a.shape[-1]
+    fn = functools.partial(_lu_factor_blocked_2d, b=b, pivot=pivot,
+                           use_pallas=use_pallas, interpret=interpret,
+                           search_bf16=search_bf16)
+    a3 = a.reshape((-1, n, n))
+    if use_pallas and not interpret and a3.shape[0] > 1:
+        # jax.vmap of Pallas kernels HANGS the v5e (DESIGN.md section 5);
+        # on hardware, loop the batch through lax.map like ops/blocked.
+        lu, perm, ok = lax.map(fn, a3)
+    else:
+        lu, perm, ok = jax.vmap(fn)(a3)
+    return (lu.reshape(a.shape), perm.reshape(batch + (n,)),
+            ok.reshape(batch))
+
+
 def lu_factor_blocked(a: jax.Array, *, pivot: bool = True,
                       block_size: int = 128):
     """Blocked getrf: panel factorization + rank-b MXU trailing updates
     (the fast path; :func:`lu_factor` is the executable spec). Returns
-    ``(lu, perm, ok)`` with the same convention as :func:`lu_factor`."""
+    ``(lu, perm, ok)`` with the same convention as :func:`lu_factor`.
+
+    FP32 panels use the Pallas pivot-search kernel shared with the blocked
+    Gauss-Jordan path plus a small VMEM (b, b) LU kernel; other dtypes run
+    the pure-jnp panel loop (the executable twin)."""
+    a = jnp.asarray(a)
     if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
         raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
-    batch, n = a.shape[:-2], a.shape[-1]
-    b = min(block_size, max(n, 8))
-    fn = functools.partial(_lu_factor_blocked_2d, b=b, pivot=pivot)
-    a3 = a.reshape((-1, n, n))
-    lu, perm, ok = jax.vmap(fn)(a3)
-    return lu.reshape(a.shape), perm.reshape(batch + (n,)), ok.reshape(batch)
+    n = a.shape[-1]
+    from gpu_matrix_inversion_tpu.ops.blocked import _select_block_params
+    from gpu_matrix_inversion_tpu.ops.fused import tpu_available
+    b, use_pallas, search_bf16 = _select_block_params(
+        n, min(block_size, max(n, 8)), a.dtype, False)
+    use_pallas = use_pallas and a.dtype == jnp.float32
+    if use_pallas:
+        interpret = not tpu_available()
+        # Trace/compile in 32-bit land: Mosaic cannot legalize the i64
+        # index plumbing x64 mode threads through pallas calls.
+        with jax.enable_x64(False):
+            return _lu_factor_blocked_jit(a, pivot=pivot, b=b,
+                                          use_pallas=True,
+                                          interpret=interpret,
+                                          search_bf16=search_bf16)
+    return _lu_factor_blocked_jit(a, pivot=pivot, b=b, use_pallas=False,
+                                  interpret=False, search_bf16=False)
 
 
 @jax.jit

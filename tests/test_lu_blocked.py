@@ -67,6 +67,53 @@ def test_chunked_getri_matches_oneshot(monkeypatch):
                                rtol=1e-12, atol=1e-12)
 
 
+def test_pallas_factor_matches_jnp_twin():
+    """The Pallas panel route (search kernel + small (b, b) LU + algebraic
+    assembly) must reproduce the jnp panel loop: identical pivot sequence
+    (GJ and LU partial pivoting choose the same pivots) and the same packed
+    factor to fp32 rounding."""
+    from gpu_matrix_inversion_tpu.ops.lu import _lu_factor_blocked_2d
+    import jax.numpy as jnp
+
+    for n, b in ((192, 64), (256, 128)):
+        a = jnp.asarray(hollow_random_matrix(n, seed=300 + n))
+        lu_f, perm_f, ok_f = _lu_factor_blocked_2d(
+            a, b=b, pivot=True, use_pallas=True, interpret=True)
+        lu_j, perm_j, ok_j = _lu_factor_blocked_2d(
+            a, b=b, pivot=True, use_pallas=False)
+        assert bool(ok_f) and bool(ok_j)
+        np.testing.assert_array_equal(np.asarray(perm_f), np.asarray(perm_j))
+        # The packed factors differ by rounding path only (the Pallas route
+        # computes L21 via a triangular solve, the twin by sequential
+        # elimination): compare backward errors, not elements. Measured
+        # ~1.5e-7 normalized vs the twin's ~3e-8 (both ~fp32 eps).
+        scale = float(np.abs(np.asarray(a)).max())
+
+        def backward(lu, perm):
+            lu = np.asarray(lu, np.float64)
+            l = np.tril(lu, -1) + np.eye(n)
+            u = np.triu(lu)
+            pa = np.asarray(a)[np.asarray(perm)].astype(np.float64)
+            return np.abs(l @ u - pa).max() / scale
+        err_f, err_j = backward(lu_f, perm_f), backward(lu_j, perm_j)
+        assert err_f < 1e-4 and err_f < 20 * max(err_j, 1e-7)
+
+
+def test_pallas_factor_reconstructs_fp32():
+    """PA = LU through the public wrapper on the Pallas fp32 route,
+    including a padded (non-multiple) order."""
+    n = 200
+    a = hollow_random_matrix(n, seed=114)
+    lu, perm, ok = lu_factor_blocked(a, block_size=128)
+    assert bool(ok)
+    lu = np.asarray(lu, dtype=np.float64)
+    l = np.tril(lu, -1) + np.eye(n)
+    u = np.triu(lu)
+    pa = a[np.asarray(perm)].astype(np.float64)
+    scale = np.abs(a).max()
+    assert np.abs(l @ u - pa).max() / scale < 5e-5
+
+
 def test_blocked_lu_singular_flagged():
     a = np.ones((128, 128), dtype=np.float32)
     _, ok = lu_inverse_fast(a)
