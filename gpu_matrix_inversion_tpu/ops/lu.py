@@ -16,9 +16,11 @@ packed in one matrix, plus a row-permutation vector (PA = LU).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import _i0
@@ -372,14 +374,157 @@ def _lu_factor_blocked_2d(a, *, b: int, pivot: bool, use_pallas: bool = False,
     return lu, perm, ok
 
 
+def _lu_group_sizes(num_panels: int, group: int):
+    """Static (first_panel, gsize) schedule: full groups plus one tail.
+
+    The tail group is simply smaller (like ops/blocked: shrinking ``group``
+    to a divisor collapses to group=1 on prime-ish panel counts)."""
+    out, k = [], 0
+    while k < num_panels:
+        g = min(group, num_panels - k)
+        out.append((k, g))
+        k += g
+    return out
+
+
+def _lu_factor_grouped_2d(a, *, b: int, group: int, pivot: bool,
+                          interpret: bool, search_bf16: bool):
+    """Two-level blocked getrf (the fp32 Pallas path).
+
+    The flat panel loop (``_lu_factor_blocked_2d``) pays one FULL-width
+    rank-b trailing GEMM, one (b, m) row gather and one (b, m) triangular
+    solve per panel -- ~2m^3 MACs where LU needs ~m^3/2, and m/b serial
+    full-matrix passes. This version ports ops/blocked's two-level grouping
+    (``_group_factor``): ``group`` consecutive panels are factored against
+    the (m, gw) group strip only (rank-b updates masked to the strip's
+    not-yet-factored lanes), then the remaining window -- a STATICALLY
+    shrinking (m, m-kb0-gw) slice, one Python-level group at a time -- gets
+    a single rank-gw update. The group's U rows come from one unit-lower
+    (gw, gw) solve in pivot order, and the same order-truncation identity
+    as the panel level writes the pivot rows' own U values in the same
+    GEMM. Pivot search rides the shared Pallas kernel
+    (``matrix_inversion_FP32.cpp:68-142``'s two-stage argmax, blocked).
+    """
+    n = a.shape[-1]
+    m = max(((n + b - 1) // b) * b, b)
+    dtype = a.dtype
+    if m != n:
+        apad = jnp.eye(m, dtype=dtype)
+        a = lax.dynamic_update_slice(apad, a, (0, 0))
+
+    from gpu_matrix_inversion_tpu.ops.blocked import _pivot_search
+
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    tri_b = (lax.broadcasted_iota(jnp.int32, (b, b), 0)
+             > lax.broadcasted_iota(jnp.int32, (b, b), 1))
+    lane_b1 = lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    arange_b = lax.broadcasted_iota(jnp.int32, (b,), 0)
+    hp = jax.lax.Precision.HIGHEST
+
+    lu = a
+    used = jnp.zeros((m, 1), jnp.float32)
+    pos = lax.broadcasted_iota(jnp.int32, (m,), 0)
+    ok = jnp.bool_(True)
+
+    for k0, gsize in _lu_group_sizes(m // b, group):
+        kb0 = k0 * b
+        gw = gsize * b
+        lane_gw = lax.broadcasted_iota(jnp.int32, (1, gw), 1)
+        used_g0 = used
+        strip0 = lax.slice(lu, (0, kb0), (m, kb0 + gw))
+
+        def panel_body(i, carry, kb0=kb0, gw=gw, lane_gw=lane_gw):
+            strip, used, pivloc, ok = carry
+            ib = i.astype(jnp.int32) * b
+            pstrip = lax.dynamic_slice(strip, (_i0, ib), (m, b))
+            if pivot:
+                search = (pstrip.astype(jnp.bfloat16) if search_bf16
+                          else pstrip)
+                pivrows = _pivot_search(search, kb0 + ib, used, m=m, b=b,
+                                        pivot=True, interpret=interpret)
+            else:
+                pivrows = kb0 + ib + arange_b
+            dblk = jnp.take(pstrip, pivrows, axis=0)
+            packed, okp = _small_lu(dblk, interpret=interpret)
+            ok = jnp.logical_and(ok, okp)
+            l11 = (jnp.where(tri_b, packed, jnp.zeros_like(packed))
+                   + jnp.eye(b, dtype=dtype))
+            u11 = jnp.where(tri_b, jnp.zeros_like(packed), packed)
+            # Multipliers for every row: A_panel @ U11^-1 (for the pivot
+            # rows this reproduces L11's own rows).
+            lall = lax.linalg.triangular_solve(
+                u11, pstrip, left_side=False, lower=False)
+            order = jnp.full((m,), b, jnp.int32).at[pivrows].set(arange_b)
+            lmask = (order[:, None] > lane_b1).astype(dtype)
+            l_trunc = lall * lmask * (1 - used.astype(dtype))
+            psel = (rows == pivrows[None, :]).astype(dtype)   # (m, b)
+            w = (pstrip * used.astype(dtype) + l_trunc
+                 + jnp.matmul(psel, u11, preferred_element_type=dtype,
+                              precision=hp))
+            strip = lax.dynamic_update_slice(strip, w, (_i0, ib))
+            used = used + jnp.sum(psel, axis=1,
+                                  keepdims=True).astype(jnp.float32)
+            pivloc = lax.dynamic_update_slice(pivloc, pivrows, (ib,))
+
+            # Internal trailing update, confined to the strip: U rows for
+            # the strip's remaining lanes, then one rank-b GEMM whose
+            # order-truncated L also writes the pivot rows' U values.
+            arows = jnp.take(strip, pivrows, axis=0)          # (b, gw)
+            u_all = lax.linalg.triangular_solve(
+                l11, arows, left_side=True, lower=True, unit_diagonal=True)
+            u_g = jnp.where(lane_gw >= ib + b, u_all, jnp.zeros_like(u_all))
+            strip = strip - jnp.matmul(l_trunc, u_g,
+                                       preferred_element_type=dtype,
+                                       precision=hp)
+            return strip, used, pivloc, ok
+
+        pivloc0 = jnp.zeros((gw,), jnp.int32)
+        strip, used, pivloc, ok = lax.fori_loop(
+            0, gsize, panel_body, (strip0, used, pivloc0, ok))
+        lu = lax.dynamic_update_slice(lu, strip, (_i0, np.int32(kb0)))
+        pos = lax.dynamic_update_slice(pos, pivloc, (np.int32(kb0),))
+
+        rest = m - kb0 - gw
+        if rest:
+            win = lax.slice(lu, (0, kb0 + gw), (m, m))        # (m, rest)
+            arows_w = jnp.take(win, pivloc, axis=0)           # (gw, rest)
+            lgg_rows = jnp.take(strip, pivloc, axis=0)        # (gw, gw)
+            tri_gw = (lax.broadcasted_iota(jnp.int32, (gw, gw), 0)
+                      > lax.broadcasted_iota(jnp.int32, (gw, gw), 1))
+            lgg = (jnp.where(tri_gw, lgg_rows, jnp.zeros_like(lgg_rows))
+                   + jnp.eye(gw, dtype=dtype))
+            u_rest = lax.linalg.triangular_solve(
+                lgg, arows_w, left_side=True, lower=True, unit_diagonal=True)
+            order_g = jnp.full((m,), gw, jnp.int32).at[pivloc].set(
+                lax.broadcasted_iota(jnp.int32, (gw,), 0))
+            lmask_g = (order_g[:, None] > lane_gw).astype(dtype)
+            ltr_g = strip * lmask_g * (1 - used_g0.astype(dtype))
+            win = win - jnp.matmul(ltr_g, u_rest,
+                                   preferred_element_type=dtype,
+                                   precision=hp)
+            lu = lax.dynamic_update_slice(lu, win, (_i0, np.int32(kb0 + gw)))
+
+    lu = jnp.take(lu, pos, axis=0)[:n, :n]
+    perm = pos[:n]
+    ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(lu)))
+    return lu, perm, ok
+
+
 @functools.partial(jax.jit, static_argnames=("pivot", "b", "use_pallas",
-                                             "interpret", "search_bf16"))
+                                             "interpret", "search_bf16",
+                                             "group"))
 def _lu_factor_blocked_jit(a, *, pivot: bool, b: int, use_pallas: bool,
-                           interpret: bool, search_bf16: bool):
+                           interpret: bool, search_bf16: bool,
+                           group: int = 0):
     batch, n = a.shape[:-2], a.shape[-1]
-    fn = functools.partial(_lu_factor_blocked_2d, b=b, pivot=pivot,
-                           use_pallas=use_pallas, interpret=interpret,
-                           search_bf16=search_bf16)
+    if use_pallas and group > 1:
+        fn = functools.partial(_lu_factor_grouped_2d, b=b, group=group,
+                               pivot=pivot, interpret=interpret,
+                               search_bf16=search_bf16)
+    else:
+        fn = functools.partial(_lu_factor_blocked_2d, b=b, pivot=pivot,
+                               use_pallas=use_pallas, interpret=interpret,
+                               search_bf16=search_bf16)
     a3 = a.reshape((-1, n, n))
     if use_pallas and not interpret and a3.shape[0] > 1:
         # jax.vmap of Pallas kernels HANGS the v5e (DESIGN.md section 5);
@@ -398,18 +543,23 @@ def lu_factor_blocked(a: jax.Array, *, pivot: bool = True,
     ``(lu, perm, ok)`` with the same convention as :func:`lu_factor`.
 
     FP32 panels use the Pallas pivot-search kernel shared with the blocked
-    Gauss-Jordan path plus a small VMEM (b, b) LU kernel; other dtypes run
-    the pure-jnp panel loop (the executable twin)."""
+    Gauss-Jordan path plus a small VMEM (b, b) LU kernel, two-level grouped
+    (``_lu_factor_grouped_2d``; ``MATINV_LU_GROUP`` overrides the panels per
+    group, 1 = the flat per-panel loop); other dtypes run the pure-jnp panel
+    loop (the executable twin)."""
     a = jnp.asarray(a)
     if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
         raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
     n = a.shape[-1]
-    from gpu_matrix_inversion_tpu.ops.blocked import _select_block_params
+    from gpu_matrix_inversion_tpu.ops.blocked import (_default_group_size,
+                                                      _select_block_params)
     from gpu_matrix_inversion_tpu.ops.fused import tpu_available
     b, use_pallas, search_bf16 = _select_block_params(
         n, min(block_size, max(n, 8)), a.dtype, False)
     use_pallas = use_pallas and a.dtype == jnp.float32
     if use_pallas:
+        group = int(os.environ.get("MATINV_LU_GROUP", 0)
+                    ) or _default_group_size(b)
         interpret = not tpu_available()
         # Trace/compile in 32-bit land: Mosaic cannot legalize the i64
         # index plumbing x64 mode threads through pallas calls.
@@ -417,7 +567,8 @@ def lu_factor_blocked(a: jax.Array, *, pivot: bool = True,
             return _lu_factor_blocked_jit(a, pivot=pivot, b=b,
                                           use_pallas=True,
                                           interpret=interpret,
-                                          search_bf16=search_bf16)
+                                          search_bf16=search_bf16,
+                                          group=group)
     return _lu_factor_blocked_jit(a, pivot=pivot, b=b, use_pallas=False,
                                   interpret=False, search_bf16=False)
 
@@ -443,11 +594,151 @@ def lu_solve_fast(lu: jax.Array, perm: jax.Array, b: jax.Array):
     return x, ok
 
 
+# --------------------------------------------------------------------------
+# Blocked triangular inversion (trtri). LAPACK's getri is built on trtri(U)
+# rather than solves against the identity; this is the TPU-shaped version:
+# batched diagonal-block inverses, then log2(#blocks) levels of BATCHED MXU
+# GEMMs (every recursion node at a level has identical shapes, so each level
+# is one batched matmul instead of 2^k small ones). Replaces the reference's
+# O(N) serial elimination sweep for the inverse-assembly phase.
+# --------------------------------------------------------------------------
+
+
+def _trtri_blocked_2d(t: jax.Array, *, lower: bool, unit_diagonal: bool,
+                      b: int = 256):
+    """Inverse of an (n, n) triangular matrix by block bisection.
+
+    X = [[X11, 0], [-X22 T21 X11, X22]] (lower; mirrored for upper), applied
+    bottom-up: level k combines 2^k sub-inverses of size s into batched
+    (s, s) GEMMs. Pads n to b * 2^L with identity so every level is a
+    uniform batch. All value-carrying GEMMs run at HIGHEST (CLAUDE.md #5).
+    """
+    n = t.shape[-1]
+    dt = t.dtype
+    if n <= b:
+        return lax.linalg.triangular_solve(
+            t, jnp.eye(n, dtype=dt), left_side=True, lower=lower,
+            unit_diagonal=unit_diagonal)
+    # Adaptive base block: the smallest m = base * 2^levels >= n with
+    # base <= b keeps the identity padding under one lane-tile per level
+    # (a FIXED base of 256 padded n=11000 to 16384 -- a 3.3x flop cliff;
+    # base=176, levels=6 pads to 11264 instead).
+    levels = max((-(-n // b) - 1).bit_length(), 0)
+    base = -(-n // (1 << levels))
+    base = -(-base // 8) * 8
+    m = base * (1 << levels)
+    b = base
+    if m != n:
+        tp = jnp.eye(m, dtype=dt)
+        t = lax.dynamic_update_slice(tp, t, (0, 0))
+    nb = m // b
+
+    # Batched diagonal-block inverses: (nb, b, b) triangular solves vs I.
+    dblocks = t.reshape(nb, b, nb, b)
+    diag = jnp.stack([dblocks[i, :, i, :] for i in range(nb)])
+    x = lax.linalg.triangular_solve(
+        diag, jnp.broadcast_to(jnp.eye(b, dtype=dt), (nb, b, b)),
+        left_side=True, lower=lower, unit_diagonal=unit_diagonal)
+
+    hp = jax.lax.Precision.HIGHEST
+    for level in range(levels):
+        s = b << level
+        npairs = m // (2 * s)
+        tb = t.reshape(npairs, 2 * s, npairs, 2 * s)
+        if lower:
+            off = jnp.stack([tb[p, s:, p, :s] for p in range(npairs)])
+        else:
+            off = jnp.stack([tb[p, :s, p, s:] for p in range(npairs)])
+        x11, x22 = x[0::2], x[1::2]
+        if lower:
+            cross = -jnp.matmul(
+                x22, jnp.matmul(off, x11, precision=hp,
+                                preferred_element_type=dt),
+                precision=hp, preferred_element_type=dt)
+            top = jnp.concatenate([x11, jnp.zeros_like(cross)], axis=-1)
+            bot = jnp.concatenate([cross, x22], axis=-1)
+        else:
+            cross = -jnp.matmul(
+                x11, jnp.matmul(off, x22, precision=hp,
+                                preferred_element_type=dt),
+                precision=hp, preferred_element_type=dt)
+            top = jnp.concatenate([x11, cross], axis=-1)
+            bot = jnp.concatenate([jnp.zeros_like(cross), x22], axis=-1)
+        x = jnp.concatenate([top, bot], axis=-2)
+    return x[0][:n, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("lower", "unit_diagonal", "b"))
+def invert_triangular(t: jax.Array, *, lower: bool = True,
+                      unit_diagonal: bool = False, b: int = 256):
+    """trtri: explicit inverse of a triangular matrix, batched over leading
+    axes. Returns ``(inverse, ok)``; ``ok`` is False on a zero diagonal
+    (or any non-finite output). The off-triangle of ``t`` is ignored."""
+    if t.ndim < 2 or t.shape[-1] != t.shape[-2]:
+        raise ValueError(f"expected (..., n, n) square matrix, got {t.shape}")
+    n = t.shape[-1]
+    r_i = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c_i = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    keep = (r_i > c_i) if lower else (r_i < c_i)   # strict off-diagonal
+    tc = jnp.where(keep, t, jnp.zeros_like(t))
+    dvals = (jnp.ones_like(jnp.diagonal(t, axis1=-2, axis2=-1))
+             if unit_diagonal else jnp.diagonal(t, axis1=-2, axis2=-1))
+    eye = jnp.eye(n, dtype=t.dtype)
+    tc = tc + eye * dvals[..., None, :]
+    fn = functools.partial(_trtri_blocked_2d, lower=lower,
+                           unit_diagonal=unit_diagonal, b=b)
+    batch = t.shape[:-2]
+    out = jax.vmap(fn)(tc.reshape((-1, n, n))).reshape(t.shape)
+    ok = jnp.logical_and(jnp.all(dvals != 0, axis=-1),
+                         jnp.all(jnp.isfinite(out), axis=(-2, -1)))
+    return out, ok
+
+
+def _getri_product(uinv: jax.Array, linv: jax.Array, *, chunk: int = 1024):
+    """U^-1 @ L^-1 exploiting triangularity: column-chunk J only multiplies
+    the rows of L^-1 at or below J's start (the rest are zero), cutting the
+    dense n^3 MACs to ~n^3/2 at chunk << n. Static Python loop; one MXU
+    GEMM per chunk."""
+    n = uinv.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+    cols = []
+    for j0 in range(0, n, chunk):
+        c = min(chunk, n - j0)
+        cols.append(jnp.matmul(uinv[:, j0:], linv[j0:, j0:j0 + c],
+                               precision=hp,
+                               preferred_element_type=uinv.dtype))
+    return jnp.concatenate(cols, axis=-1)
+
+
+@jax.jit
+def _lu_inverse_trtri(a: jax.Array):
+    """getri via trtri (LAPACK's own shape): A^-1 = U^-1 L^-1 P, with the
+    permutation applied as one final column gather. GEMM-rich alternative
+    to the identity-RHS solves; also ~3 n^2 live temporaries instead of the
+    solve path's tens of n^2 (the n=11000 OOM, GETRI_CHUNK_MIN_N)."""
+    n = a.shape[-1]
+    lu, perm, ok_f = lu_factor_blocked(a)
+    linv, ok_l = invert_triangular(lu, lower=True, unit_diagonal=True)
+    uinv, ok_u = invert_triangular(lu, lower=False, unit_diagonal=False)
+    prod = _getri_product(uinv, linv)
+    # A^-1 = U^-1 L^-1 P and (P x)[i] = x[perm[i]], so column j of the
+    # result is column invperm[j] of the product.
+    invperm = jnp.zeros((n,), perm.dtype).at[perm].set(
+        lax.broadcasted_iota(perm.dtype, (n,), 0))
+    inv = jnp.take(prod, invperm, axis=1)
+    ok = jnp.logical_and(jnp.logical_and(ok_f, ok_l),
+                         jnp.logical_and(ok_u,
+                                         jnp.all(jnp.isfinite(inv))))
+    return inv, ok
+
+
 # Above this order the one-shot getri solve (triangular solves against the
 # full (n, n) identity) exceeds single-chip HBM: XLA:TPU's triangular-solve
 # lowering plus the factor loop holds tens of n^2 f32 temporaries live
 # (measured: 20.9 GB of HLO temp at n=11000 vs 15.75 GB HBM; OOM at 10240,
 # fits at 8192). The chunked solve bounds the RHS to (n, chunk) per step.
+# Only reachable on the opt-in MATINV_GETRI_ROUTE=solve path: the default
+# trtri route holds ~5 n^2 and never chunks.
 GETRI_CHUNK_MIN_N = 8192 + 1
 
 
@@ -485,13 +776,21 @@ def _lu_inverse_chunked(lu: jax.Array, perm: jax.Array, *, chunk: int):
 
 
 def lu_inverse_fast(a: jax.Array, *, chunk: int = 2048):
-    """Blocked getri: blocked factor + triangular solves against I.
+    """Blocked getri; returns ``(inverse, ok)`` -- the performance version
+    of :func:`lu_inverse` (the LAPACK path the reference's README concedes
+    to, ``README.md:62``).
 
-    Returns ``(inverse, ok)`` -- the performance version of
-    :func:`lu_inverse`. Single matrices at n >= :data:`GETRI_CHUNK_MIN_N`
-    solve the identity in ``chunk``-column blocks (capacity fix: the
-    one-shot solve OOMs a 16 GB chip past ~10k; see GETRI_CHUNK_MIN_N)."""
+    Single matrices take the trtri composition ``A^-1 = U^-1 L^-1 P``
+    (LAPACK's own getri shape: measured faster than the identity-RHS solve
+    AND ~5 n^2 live temporaries, so it needs no chunking at any order the
+    chip can hold). Batched inputs take the solve route, whose one
+    triangular-solve pair amortizes over the batch. ``MATINV_GETRI_ROUTE=
+    solve`` forces the solve route for single matrices (identity chunked
+    past :data:`GETRI_CHUNK_MIN_N` to bound temp memory)."""
     n = a.shape[-1]
+    route = os.environ.get("MATINV_GETRI_ROUTE", "trtri")
+    if a.ndim == 2 and route != "solve":
+        return _lu_inverse_trtri(a)
     if a.ndim == 2 and n >= GETRI_CHUNK_MIN_N:
         lu, perm, ok_f = lu_factor_blocked(a)
         inv, ok_s = _lu_inverse_chunked(lu, perm, chunk=min(chunk, n))

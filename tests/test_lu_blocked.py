@@ -53,6 +53,9 @@ def test_chunked_getri_matches_oneshot(monkeypatch):
 
     n = 100
     a = hollow_random_matrix(n, seed=113, dtype=np.float64)
+    # Pin the solve route: single 2D matrices default to the trtri
+    # composition now; this test compares the two solve variants.
+    monkeypatch.setenv("MATINV_GETRI_ROUTE", "solve")
     inv_one, ok_one = lu_inverse_fast(a)
     monkeypatch.setattr(L, "GETRI_CHUNK_MIN_N", 64)
     inv_ch, ok_ch = L.lu_inverse_fast(a, chunk=32)  # 100 = 3*32 + 4 tail
@@ -99,6 +102,44 @@ def test_pallas_factor_matches_jnp_twin():
         assert err_f < 1e-4 and err_f < 20 * max(err_j, 1e-7)
 
 
+def test_grouped_factor_matches_flat():
+    """The two-level grouped getrf (internal rank-b updates confined to the
+    group strip + one outer rank-gw update per group) must reproduce the
+    flat per-panel loop: identical pivot sequence and the same backward
+    error tier. Covers a tail group (panels % group != 0), a padded order,
+    and the no-pivot variant."""
+    import jax.numpy as jnp
+    from gpu_matrix_inversion_tpu.ops.lu import _lu_factor_blocked_jit
+
+    def backward(a, lu, perm):
+        n = a.shape[-1]
+        lu = np.asarray(lu, np.float64)
+        l = np.tril(lu, -1) + np.eye(n)
+        u = np.triu(lu)
+        pa = np.asarray(a)[np.asarray(perm)].astype(np.float64)
+        return np.abs(l @ u - pa).max() / np.abs(np.asarray(a)).max()
+
+    for n, b, g, pivot in ((256, 32, 4, True), (300, 32, 3, True),
+                           (512, 128, 2, True), (256, 32, 4, False)):
+        a = np.asarray(hollow_random_matrix(n, seed=400 + n))
+        if not pivot:
+            # Hollow matrices have a ZERO diagonal: no-pivot LU needs a
+            # diagonally dominant input to avoid a legitimate zero pivot.
+            a = a + np.eye(n, dtype=a.dtype) * (np.abs(a).sum(axis=1).max())
+        a = jnp.asarray(a)
+        lu_g, perm_g, ok_g = _lu_factor_blocked_jit(
+            a, pivot=pivot, b=b, use_pallas=True, interpret=True,
+            search_bf16=False, group=g)
+        lu_f, perm_f, ok_f = _lu_factor_blocked_jit(
+            a, pivot=pivot, b=b, use_pallas=True, interpret=True,
+            search_bf16=False, group=0)
+        assert bool(ok_g) and bool(ok_f)
+        np.testing.assert_array_equal(np.asarray(perm_g), np.asarray(perm_f))
+        err_g, err_f = backward(a, lu_g, perm_g), backward(a, lu_f, perm_f)
+        assert err_g < 1e-4 and err_g < 20 * max(err_f, 1e-7), (n, err_g,
+                                                                err_f)
+
+
 def test_pallas_factor_reconstructs_fp32():
     """PA = LU through the public wrapper on the Pallas fp32 route,
     including a padded (non-multiple) order."""
@@ -137,3 +178,70 @@ def test_fast_path_batched():
     assert bool(np.all(np.asarray(ok3)))
     np.testing.assert_allclose(np.asarray(inv), np.linalg.inv(a),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_trtri_lower_and_upper():
+    """Blocked trtri vs a direct solve: both triangles, non-power-of-2 n
+    (exercises the identity padding) and a batch axis."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.ops.lu import invert_triangular
+    rng = np.random.default_rng(7)
+    for n in (48, 200, 320):
+        a = (rng.uniform(-1, 1, (n, n)).astype(np.float32) * 0.5 / np.sqrt(n)
+             + np.eye(n, dtype=np.float32))
+        low = np.tril(a, -1) + np.eye(n, dtype=np.float32)
+        up = np.triu(a)
+        li, okl = invert_triangular(low, lower=True, unit_diagonal=True, b=64)
+        ui, oku = invert_triangular(up, lower=False, unit_diagonal=False, b=64)
+        assert bool(okl) and bool(oku)
+        assert np.abs(np.asarray(li) @ low - np.eye(n)).max() < 1e-5
+        assert np.abs(np.asarray(ui) @ up - np.eye(n)).max() < 1e-5
+    # Off-triangle garbage must be ignored (the packed-LU use case).
+    n = 96
+    junk = rng.uniform(-9, 9, (n, n)).astype(np.float32)
+    low = np.tril(junk, -1) + np.eye(n, dtype=np.float32)
+    li2, _ = invert_triangular(junk + np.eye(n, dtype=np.float32) - np.triu(junk),
+                               lower=True, unit_diagonal=True, b=32)
+    li3, _ = invert_triangular(low, lower=True, unit_diagonal=True, b=32)
+    np.testing.assert_array_equal(np.asarray(li2), np.asarray(li3))
+
+
+def test_trtri_batched_and_singular():
+    import numpy as np
+    from gpu_matrix_inversion_tpu.ops.lu import invert_triangular
+    rng = np.random.default_rng(8)
+    batch = np.stack([
+        np.triu(rng.uniform(-1, 1, (64, 64)).astype(np.float32) * 0.1
+                + np.eye(64, dtype=np.float32) * (i + 1))
+        for i in range(3)
+    ])
+    inv, ok = invert_triangular(batch, lower=False, b=32)
+    assert np.all(np.asarray(ok))
+    err = np.abs(np.einsum("bij,bjk->bik", np.asarray(inv), batch)
+                 - np.eye(64)).max()
+    assert err < 1e-5
+    sing = np.triu(np.ones((16, 16), np.float32))
+    sing = sing * (1 - np.eye(16, dtype=np.float32))  # zero diagonal
+    _, ok = invert_triangular(sing, lower=False)
+    assert not bool(ok)
+
+
+def test_getri_trtri_matches_solve_route():
+    """The trtri-based getri (LAPACK's own composition, U^-1 L^-1 P) — the
+    default single-matrix route — must agree with the identity-RHS solve
+    route to fp32 residual level."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.ops.lu import (_lu_inverse_fast_oneshot,
+                                                 _lu_inverse_trtri)
+    from gpu_matrix_inversion_tpu.utils.residual import relative_residual
+    for n in (96, 384):
+        a = hollow_random_matrix(n, seed=300 + n)
+        inv1, ok1 = _lu_inverse_trtri(a)
+        inv2, ok2 = _lu_inverse_fast_oneshot(a)
+        assert bool(ok1) and bool(ok2)
+        assert relative_residual(a, np.asarray(inv1)) < 1e-5
+        assert np.abs(np.asarray(inv1) - np.asarray(inv2)).max() < 1e-3 * (
+            np.abs(np.asarray(inv2)).max())
+    sing = np.ones((24, 24), dtype=np.float32)
+    _, ok = _lu_inverse_trtri(sing)
+    assert not bool(ok)
