@@ -152,6 +152,30 @@ def main() -> None:
     gflops_raw = 4 * n_big**3 / t_raw / 1e9
     gflops_raw_eff = effective_gemm_flops(n_big) / t_raw / 1e9
 
+    # --- SPD potri 4096 (Cholesky family; no reference counterpart) --------
+    from gpu_matrix_inversion_tpu.ops.cholesky import cholesky_inverse
+    rng_spd = np.random.default_rng(2)
+    g = rng_spd.standard_normal((n_big, n_big))
+    a_spd = jnp.asarray(((g @ g.T) / n_big
+                         + np.eye(n_big)).astype(np.float32))
+
+    def make_potri(k):
+        @jax.jit
+        def p(a):
+            def body(c, _):
+                inv, ok = cholesky_inverse(
+                    a + c * jnp.eye(n_big, dtype=a.dtype))
+                return c + jnp.float32(1e-6), jnp.sum(inv)
+            c, outs = lax.scan(body, jnp.float32(0), None, length=k)
+            return jnp.sum(outs) + c
+        return p
+
+    _trace("cholesky potri 4096 scans")
+    t_potri, _ = _amortized(make_potri, a_spd, 1, 3)
+    inv_spd, ok_spd = cholesky_inverse(a_spd)
+    resid_spd = relative_residual(np.asarray(a_spd), np.asarray(inv_spd))
+    del a_spd, inv_spd
+
     # --- 16384^2 single-chip capacity point (VERDICT r1 #5) ----------------
     # At ~0.9 s of compute the ~26 ms dispatch floor is ~3%, so a plain
     # single-call timing is honest here; no amortization scan needed.
@@ -208,6 +232,8 @@ def main() -> None:
         "blocked_4096_ms_refined": round(t_ref * 1e3, 1),
         "blocked_4096_ms_refined_single_call": round(t_ref_single * 1e3, 1),
         "lu_getri_4096_ms": round(t_lu * 1e3, 1),
+        "cholesky_potri_4096_ms": round(t_potri * 1e3, 1),
+        "potri_4096_residual": float(f"{resid_spd:.3g}"),
         "blocked_4096_gflops_4n3": round(gflops_raw, 1),
         "blocked_4096_gflops_effective": round(gflops_raw_eff, 1),
         "blocked_16384_ms": round(t_huge * 1e3, 1),
@@ -224,6 +250,7 @@ def main() -> None:
         # loose 5x bound catches them without tripping on post-wedge
         # first-call slowness (CLAUDE.md hazard #3).
         "ok": (bool(ok_small) and bool(ok_raw) and resid_raw < 1e-4
+               and bool(ok_spd) and resid_spd < 1e-4
                and t_sharded / max(t_raw_single, 1e-9) < 5.0),
         "device": str(jax.devices()[0]),
     }

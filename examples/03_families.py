@@ -1,5 +1,5 @@
-"""Solver families: Gauss-Jordan (fused/blocked), LU, Newton-Schulz,
-mixed-precision refinement."""
+"""Solver families: Gauss-Jordan (fused/blocked), LU, Cholesky (SPD),
+Newton-Schulz, mixed-precision refinement."""
 import numpy as np
 import os
 import sys
@@ -23,6 +23,12 @@ x, ok2 = lu_solve_fast(lu, perm, b)
 
 # FP32 factor, FP64-level residual (BASELINE configs[3]):
 x_ref, _ = lu_inverse_refined(a, iters=2)
+
+# SPD input: Cholesky potri -- half the LU MACs, no pivot search, and the
+# determinant falls out of either factorization:
+spd = (a @ a.T) / n + n * np.eye(n, dtype=np.float32)
+x_spd, ok_spd = mi.inverse(spd, method="cholesky")
+sign, logabs, _ = mi.slogdet(a)
 
 # Config-driven session (the reference's #define knobs at runtime):
 inv = mi.Inverter(dtype="float32", method="blocked", refine_iters=1)

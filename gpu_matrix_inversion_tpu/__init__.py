@@ -33,6 +33,12 @@ from gpu_matrix_inversion_tpu.api import (
     matrix_multiply,
 )
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import gauss_jordan_inverse
+from gpu_matrix_inversion_tpu.ops.cholesky import (
+    cholesky_factor,
+    cholesky_inverse,
+    cholesky_solve,
+)
+from gpu_matrix_inversion_tpu.ops.lu import det, invert_triangular, slogdet
 from gpu_matrix_inversion_tpu.models.solver import inverse, solve, Inverter
 from gpu_matrix_inversion_tpu.utils.config import InversionConfig
 
@@ -49,6 +55,12 @@ __all__ = [
     "no_pivots_bench",
     "matrix_multiply",
     "gauss_jordan_inverse",
+    "cholesky_factor",
+    "cholesky_inverse",
+    "cholesky_solve",
+    "det",
+    "slogdet",
+    "invert_triangular",
     "inverse",
     "solve",
     "Inverter",

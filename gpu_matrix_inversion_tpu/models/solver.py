@@ -11,6 +11,8 @@ point that routes to
 - ``lu``       LU factorization + getri-style triangular solves
 - ``ns``       Newton-Schulz iteration (pivot-free, pure MXU; well-
                conditioned matrices and warm starts)
+- ``cholesky`` potrf/potri for symmetric positive-definite input: half the
+               LU MACs and no pivot-search serial chain at all
 - ``sharded``  panel-sharded multi-chip path over a device mesh
 
 ``auto`` picks by shape: batched or small single matrices go to ``fused``
@@ -27,7 +29,8 @@ import jax.numpy as jnp
 from gpu_matrix_inversion_tpu.ops.gauss_jordan import gauss_jordan_inverse
 from gpu_matrix_inversion_tpu.ops.fused import FUSED_MAX_N
 
-METHODS = ("auto", "spec", "fused", "blocked", "lu", "sharded", "ns")
+METHODS = ("auto", "spec", "fused", "blocked", "lu", "cholesky", "sharded",
+           "ns")
 
 _BLOCKED_MIN_N = 512
 # auto -> sharded capacity gate (VERDICT r2 #7): past ~32768^2 the fp32
@@ -124,6 +127,9 @@ def inverse(a: jax.Array, *, method: str = "auto", pivot: bool = True,
         if a.shape[-1] >= 256:
             return lu_inverse_fast(a)
         return lu_inverse(a)
+    if resolved == "cholesky":
+        from gpu_matrix_inversion_tpu.ops.cholesky import cholesky_inverse
+        return cholesky_inverse(a)
     if resolved == "ns":
         from gpu_matrix_inversion_tpu.models.newton_schulz import (
             newton_schulz_inverse)

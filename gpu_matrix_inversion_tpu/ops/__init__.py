@@ -11,7 +11,15 @@ from gpu_matrix_inversion_tpu.ops.lu import (
     lu_solve_fast,
     lu_inverse,
     lu_inverse_fast,
+    invert_triangular,
+    det,
+    slogdet,
     cond_estimate,
+)
+from gpu_matrix_inversion_tpu.ops.cholesky import (
+    cholesky_factor,
+    cholesky_solve,
+    cholesky_inverse,
 )
 from gpu_matrix_inversion_tpu.ops.refine import (
     newton_schulz_refine,
@@ -27,6 +35,12 @@ __all__ = [
     "lu_solve_fast",
     "lu_inverse",
     "lu_inverse_fast",
+    "invert_triangular",
+    "det",
+    "slogdet",
+    "cholesky_factor",
+    "cholesky_solve",
+    "cholesky_inverse",
     "cond_estimate",
     "newton_schulz_refine",
     "lu_inverse_refined",

@@ -1,0 +1,163 @@
+"""Cholesky factorization (potrf), SPD solves (potrs) and inversion (potri).
+
+The reference ships only general-matrix Gauss-Jordan and its README concedes
+that LAPACK-style factorizations win (``/root/reference/README.md:62``).
+For symmetric positive-definite systems the LAPACK route is potrf/potri at
+half of getrf/getri's MACs -- and, unlike LU or pivoted Gauss-Jordan, it has
+NO pivot search at all, so the serial per-step dependency chain that floors
+the general paths at 4096^2 (DESIGN.md section 6b) vanishes: the whole
+factorization is (b, b) diagonal Cholesky blocks plus MXU panel solves and
+rank-b trailing GEMMs.
+
+TPU shape notes: the panel loop is a static Python loop over shrinking
+``lax.slice`` windows (static shapes per panel, like ``_trtri_blocked_2d``),
+every value-carrying GEMM runs at ``Precision.HIGHEST`` (CLAUDE.md hazard
+list item 5), and the (b, b) diagonal factorization uses XLA's own
+``lax.linalg.cholesky`` expansion -- no Pallas, so no Mosaic constraints.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _chol_factor_blocked_2d(a: jax.Array, *, b: int) -> Tuple[jax.Array,
+                                                              jax.Array]:
+    """Right-looking blocked potrf of one (m, m) matrix, lower triangle.
+
+    Only the lower triangle of ``a`` is read (LAPACK ``uplo='L'``). Returns
+    ``(L, ok)`` where ``ok`` is False when any diagonal block fails to
+    factor (non-positive-definite input surfaces as NaNs from
+    ``lax.linalg.cholesky``, caught by the finite probe)."""
+    m = a.shape[-1]
+    dt = a.dtype
+    hp = jax.lax.Precision.HIGHEST
+    # LAPACK uplo='L': only the lower triangle of the input is meaningful.
+    # XLA's cholesky reads the whole diagonal block, so rebuild the matrix
+    # from its lower triangle (trailing updates then keep both halves
+    # consistent for free, since pan @ pan.T is symmetric).
+    r_i = lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    c_i = lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    low = jnp.where(r_i >= c_i, a, jnp.zeros_like(a))
+    strict = jnp.where(r_i > c_i, a, jnp.zeros_like(a))
+    w = low + strict.T
+    for k0 in range(0, m, b):
+        dblk = lax.slice(w, (k0, k0), (k0 + b, k0 + b))
+        lkk = lax.linalg.cholesky(dblk)
+        w = lax.dynamic_update_slice(w, lkk, (k0, k0))
+        rows = m - k0 - b
+        if rows:
+            below = lax.slice(w, (k0 + b, k0), (m, k0 + b))
+            # Panel: X @ L_kk^T = A_below  =>  X = A_below L_kk^-T.
+            pan = lax.linalg.triangular_solve(
+                lkk, below, left_side=False, lower=True, transpose_a=True)
+            w = lax.dynamic_update_slice(w, pan, (k0 + b, k0))
+            trail = lax.slice(w, (k0 + b, k0 + b), (m, m))
+            trail = trail - jnp.matmul(pan, pan.T, precision=hp,
+                                       preferred_element_type=dt)
+            w = lax.dynamic_update_slice(w, trail, (k0 + b, k0 + b))
+    l = jnp.where(r_i >= c_i, w, jnp.zeros_like(w))
+    diag = jnp.diagonal(l)
+    ok = jnp.logical_and(jnp.all(jnp.isfinite(l)), jnp.all(diag > 0))
+    return l, ok
+
+
+@functools.partial(jax.jit, static_argnames=("b",))
+def _chol_factor_jit(a: jax.Array, *, b: int):
+    n = a.shape[-1]
+    m = max(((n + b - 1) // b) * b, b)
+    dt = a.dtype
+
+    def one(x):
+        if m != n:
+            # Identity padding keeps the padded matrix SPD; its factor is
+            # block-diagonal(L, I), cropped below.
+            xp = jnp.eye(m, dtype=dt)
+            x = lax.dynamic_update_slice(xp, x, (0, 0))
+        l, ok = _chol_factor_blocked_2d(x, b=b)
+        return l[:n, :n], ok
+
+    batch = a.shape[:-2]
+    l, ok = jax.vmap(one)(a.reshape((-1, n, n)))
+    return l.reshape(a.shape), ok.reshape(batch)
+
+
+def cholesky_factor(a: jax.Array, *, block_size: int = 256
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """potrf: lower-Cholesky factor of SPD ``a`` (shape ``(..., n, n)``).
+
+    Returns ``(L, ok)`` with ``A = L @ L.T``; ``ok`` is False per matrix
+    when the input is not positive definite (the analog of the reference's
+    empty-on-failure contract, ``mat_inv_32.cpp:206-215``). Only the lower
+    triangle of ``a`` is read (LAPACK ``uplo='L'``)."""
+    a = jnp.asarray(a)
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
+    n = a.shape[-1]
+    b = min(block_size, max(-(-n // 8) * 8, 8))
+    return _chol_factor_jit(a, b=b)
+
+
+@jax.jit
+def cholesky_solve(l: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """potrs: solve ``A @ x = b`` given ``A = L @ L.T`` from
+    :func:`cholesky_factor`. ``b`` may be ``(..., n, k)`` or ``(..., n)``.
+    Returns ``(x, ok)``."""
+    vec = (b.ndim == l.ndim - 1)
+    if vec:
+        b = b[..., None]
+    y = lax.linalg.triangular_solve(l, b, left_side=True, lower=True)
+    x = lax.linalg.triangular_solve(l, y, left_side=True, lower=True,
+                                    transpose_a=True)
+    ok = jnp.logical_and(
+        jnp.all(jnp.diagonal(l, axis1=-2, axis2=-1) > 0, axis=-1),
+        jnp.all(jnp.isfinite(x), axis=(-2, -1)))
+    if vec:
+        x = x[..., 0]
+    return x, ok
+
+
+def _potri_product(linv: jax.Array, *, chunk: int = 512) -> jax.Array:
+    """``L^-T @ L^-1`` exploiting triangularity: rows of ``L^-1`` above a
+    column chunk's start are zero in the chunk, so chunk J only contracts
+    ``linv[j0:, :]`` -- the same ~halving as ``ops.lu._getri_product``."""
+    n = linv.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+    cols = []
+    for j0 in range(0, n, chunk):
+        c = min(chunk, n - j0)
+        cols.append(jnp.matmul(linv[..., j0:, :].mT,
+                               linv[..., j0:, j0:j0 + c],
+                               precision=hp,
+                               preferred_element_type=linv.dtype))
+    return jnp.concatenate(cols, axis=-1)
+
+
+@jax.jit
+def _cholesky_inverse_jit(a: jax.Array):
+    from gpu_matrix_inversion_tpu.ops.lu import invert_triangular
+    l, ok_f = cholesky_factor(a)
+    linv, ok_t = invert_triangular(l, lower=True, unit_diagonal=False)
+    inv = _potri_product(linv)
+    ok = jnp.logical_and(jnp.logical_and(ok_f, ok_t),
+                         jnp.all(jnp.isfinite(inv), axis=(-2, -1)))
+    return inv, ok
+
+
+def cholesky_inverse(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """potri: explicit inverse of SPD ``a`` via ``A^-1 = L^-T L^-1``.
+
+    Half the MACs of the LU getri route and none of the pivot-search
+    serial chain -- the fastest single-matrix inverse in the library when
+    the input is SPD. Returns ``(inverse, ok)``; ``ok`` is False (and the
+    flat-vector API returns empty) for non-SPD input, mirroring the
+    reference's singular gate (``matrix_inversion_FP32.cpp:814-835``)."""
+    a = jnp.asarray(a)
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        raise ValueError(f"expected (..., n, n) square matrix, got {a.shape}")
+    return _cholesky_inverse_jit(a)

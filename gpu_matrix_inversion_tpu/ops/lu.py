@@ -604,17 +604,37 @@ def lu_solve_fast(lu: jax.Array, perm: jax.Array, b: jax.Array):
 # --------------------------------------------------------------------------
 
 
+def _trtri_default_b(n: int) -> int:
+    """Measured-on-v5e base block: 1024 beats 256 at 4096 (L+U pair 5.9 vs
+    7.4 ms) and 8192 (42.7 vs 49.9 ms) -- fewer levels means fewer
+    level-boundary gathers/concats and larger batched GEMMs; below 2048 a
+    1024 base would BE most of the matrix, so keep a real bisection."""
+    return 1024 if n >= 2048 else 256
+
+
+def _tri_mm_chunks(s: int) -> int:
+    """Cross-GEMM chunking factor: the bisection's cross products contract
+    against TRIANGULAR sub-inverses, so a dense (s, s) GEMM schedules ~2x
+    the needed MACs. Chunking in 4 strips cuts the multiplier to
+    (1 + 1/4)/2 = 0.625 while keeping every strip >= 128 lanes wide (MXU
+    tile); below s=512 the strips get too narrow to pay."""
+    return 4 if s >= 512 else 1
+
+
 def _trtri_blocked_2d(t: jax.Array, *, lower: bool, unit_diagonal: bool,
-                      b: int = 256):
+                      b: int | None = None):
     """Inverse of an (n, n) triangular matrix by block bisection.
 
     X = [[X11, 0], [-X22 T21 X11, X22]] (lower; mirrored for upper), applied
     bottom-up: level k combines 2^k sub-inverses of size s into batched
-    (s, s) GEMMs. Pads n to b * 2^L with identity so every level is a
-    uniform batch. All value-carrying GEMMs run at HIGHEST (CLAUDE.md #5).
+    (s, s) GEMMs, chunked to exploit the sub-inverses' triangularity
+    (``_tri_mm_chunks``). Pads n to b * 2^L with identity so every level is
+    a uniform batch. All value-carrying GEMMs run at HIGHEST (CLAUDE.md #5).
     """
     n = t.shape[-1]
     dt = t.dtype
+    if b is None:
+        b = _trtri_default_b(n)
     if n <= b:
         return lax.linalg.triangular_solve(
             t, jnp.eye(n, dtype=dt), left_side=True, lower=lower,
@@ -641,6 +661,44 @@ def _trtri_blocked_2d(t: jax.Array, *, lower: bool, unit_diagonal: bool,
         left_side=True, lower=lower, unit_diagonal=unit_diagonal)
 
     hp = jax.lax.Precision.HIGHEST
+
+    def mm(a_, b_):
+        return jnp.matmul(a_, b_, precision=hp, preferred_element_type=dt)
+
+    def tri_mm_right(y, xt):
+        # y @ xt with xt (B, s, s) triangular: column strip J of the result
+        # only touches xt's nonzero rows for those columns.
+        s = xt.shape[-1]
+        ch = _tri_mm_chunks(s)
+        if ch == 1:
+            return mm(y, xt)
+        cw = s // ch
+        cols = []
+        for j0 in range(0, s, cw):
+            if lower:   # xt lower: rows >= j0 in columns [j0, j0+cw)
+                cols.append(mm(y[..., :, j0:], xt[..., j0:, j0:j0 + cw]))
+            else:       # xt upper: rows < j0+cw
+                cols.append(mm(y[..., :, :j0 + cw], xt[..., :j0 + cw,
+                                                       j0:j0 + cw]))
+        return jnp.concatenate(cols, axis=-1)
+
+    def tri_mm_left(xt, y):
+        # xt @ y with xt (B, s, s) triangular: row strip I of the result
+        # only touches xt's nonzero columns in those rows.
+        s = xt.shape[-2]
+        ch = _tri_mm_chunks(s)
+        if ch == 1:
+            return mm(xt, y)
+        cw = s // ch
+        rows_ = []
+        for i0 in range(0, s, cw):
+            if lower:   # xt lower: columns < i0+cw in rows [i0, i0+cw)
+                rows_.append(mm(xt[..., i0:i0 + cw, :i0 + cw],
+                                y[..., :i0 + cw, :]))
+            else:       # xt upper: columns >= i0
+                rows_.append(mm(xt[..., i0:i0 + cw, i0:], y[..., i0:, :]))
+        return jnp.concatenate(rows_, axis=-2)
+
     for level in range(levels):
         s = b << level
         npairs = m // (2 * s)
@@ -651,17 +709,11 @@ def _trtri_blocked_2d(t: jax.Array, *, lower: bool, unit_diagonal: bool,
             off = jnp.stack([tb[p, :s, p, s:] for p in range(npairs)])
         x11, x22 = x[0::2], x[1::2]
         if lower:
-            cross = -jnp.matmul(
-                x22, jnp.matmul(off, x11, precision=hp,
-                                preferred_element_type=dt),
-                precision=hp, preferred_element_type=dt)
+            cross = -tri_mm_left(x22, tri_mm_right(off, x11))
             top = jnp.concatenate([x11, jnp.zeros_like(cross)], axis=-1)
             bot = jnp.concatenate([cross, x22], axis=-1)
         else:
-            cross = -jnp.matmul(
-                x11, jnp.matmul(off, x22, precision=hp,
-                                preferred_element_type=dt),
-                precision=hp, preferred_element_type=dt)
+            cross = -tri_mm_left(x11, tri_mm_right(off, x22))
             top = jnp.concatenate([x11, cross], axis=-1)
             bot = jnp.concatenate([jnp.zeros_like(cross), x22], axis=-1)
         x = jnp.concatenate([top, bot], axis=-2)
@@ -670,10 +722,11 @@ def _trtri_blocked_2d(t: jax.Array, *, lower: bool, unit_diagonal: bool,
 
 @functools.partial(jax.jit, static_argnames=("lower", "unit_diagonal", "b"))
 def invert_triangular(t: jax.Array, *, lower: bool = True,
-                      unit_diagonal: bool = False, b: int = 256):
+                      unit_diagonal: bool = False, b: int | None = None):
     """trtri: explicit inverse of a triangular matrix, batched over leading
     axes. Returns ``(inverse, ok)``; ``ok`` is False on a zero diagonal
-    (or any non-finite output). The off-triangle of ``t`` is ignored."""
+    (or any non-finite output). The off-triangle of ``t`` is ignored.
+    ``b`` overrides the measured-default base block (``_trtri_default_b``)."""
     if t.ndim < 2 or t.shape[-1] != t.shape[-2]:
         raise ValueError(f"expected (..., n, n) square matrix, got {t.shape}")
     n = t.shape[-1]
@@ -694,11 +747,12 @@ def invert_triangular(t: jax.Array, *, lower: bool = True,
     return out, ok
 
 
-def _getri_product(uinv: jax.Array, linv: jax.Array, *, chunk: int = 1024):
+def _getri_product(uinv: jax.Array, linv: jax.Array, *, chunk: int = 512):
     """U^-1 @ L^-1 exploiting triangularity: column-chunk J only multiplies
     the rows of L^-1 at or below J's start (the rest are zero), cutting the
     dense n^3 MACs to ~n^3/2 at chunk << n. Static Python loop; one MXU
-    GEMM per chunk."""
+    GEMM per chunk (chunk=512 measured faster than 1024 at 4096: 2.6 vs
+    3.1 ms -- the extra triangularity win beats the narrower GEMMs)."""
     n = uinv.shape[-1]
     hp = jax.lax.Precision.HIGHEST
     cols = []
@@ -835,3 +889,44 @@ def cond_estimate(a: jax.Array, inv: jax.Array, *, iters: int = 8,
         return jnp.sqrt(jnp.sum(av * av, axis=(-2, -1)))
 
     return spectral_norm(a) * spectral_norm(inv)
+
+
+@jax.jit
+def slogdet(a: jax.Array):
+    """Sign and log-absolute-determinant from the LU factorization
+    (numpy.linalg.slogdet contract): returns ``(sign, logabsdet, ok)``,
+    batched over leading axes.
+
+    The getrf-derived diagnostic the reference never exposed (its pipeline
+    stops at the inverse; determinants fall out of the same factorization
+    for free, ``matrix_inversion_FP32.cpp:622-705``'s pivot loop already
+    computes every pivot). ``det(A) = sign(P) * prod(diag(U))``; the
+    permutation sign is the parity of its inversion count -- an O(n^2)
+    boolean reduction, which vectorizes on TPU where cycle-walking would
+    serialize. Exactly singular input gives ``sign=0, logabsdet=-inf``
+    (numpy's value convention) and ``ok=False`` (the factor's zero-pivot
+    flag, consistent with the library-wide ``(result, ok)`` contract)."""
+    a = jnp.asarray(a)
+    n = a.shape[-1]
+    if n >= 256:
+        lu, perm, ok = lu_factor_blocked(a)
+    else:
+        lu, perm, ok = lu_factor(a)
+    diag = jnp.diagonal(lu, axis1=-2, axis2=-1)
+    # Parity of perm: #{i < j : perm[i] > perm[j]} mod 2.
+    lt = (lax.broadcasted_iota(jnp.int32, (n, n), 0)
+          < lax.broadcasted_iota(jnp.int32, (n, n), 1))
+    inversions = jnp.sum(
+        jnp.logical_and(lt, perm[..., :, None] > perm[..., None, :]),
+        axis=(-2, -1))
+    sign_perm = jnp.where(inversions % 2 == 0, 1.0, -1.0).astype(a.dtype)
+    sign = sign_perm * jnp.prod(jnp.sign(diag), axis=-1)
+    logabs = jnp.sum(jnp.log(jnp.abs(diag)), axis=-1)
+    return sign, logabs, ok
+
+
+def det(a: jax.Array):
+    """Determinant via :func:`slogdet` (overflows to ``+-inf`` exactly where
+    ``numpy.linalg.det`` does). Returns ``(det, ok)``."""
+    sign, logabs, ok = slogdet(a)
+    return sign * jnp.exp(logabs), ok

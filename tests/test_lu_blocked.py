@@ -245,3 +245,29 @@ def test_getri_trtri_matches_solve_route():
     sing = np.ones((24, 24), dtype=np.float32)
     _, ok = _lu_inverse_trtri(sing)
     assert not bool(ok)
+
+
+def test_trtri_chunked_cross_levels():
+    """n=1024 with b=256 reaches a level with s=512, activating the
+    triangular-aware chunked cross GEMMs (_tri_mm_chunks) -- both triangles
+    must still reconstruct the identity, and the chunked result must agree
+    with the unchunked bisection (b=512 keeps every level below the chunk
+    gate at this size ... s=512 is the top; use the direct solve b=1024)."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.ops.lu import invert_triangular
+    rng = np.random.default_rng(11)
+    n = 1024
+    a = (rng.uniform(-1, 1, (n, n)).astype(np.float32) * 0.5 / np.sqrt(n)
+         + np.eye(n, dtype=np.float32))
+    low = np.tril(a)
+    up = np.triu(a)
+    li, okl = invert_triangular(low, lower=True, unit_diagonal=False, b=256)
+    ui, oku = invert_triangular(up, lower=False, unit_diagonal=False, b=256)
+    assert bool(okl) and bool(oku)
+    assert np.abs(np.asarray(li) @ low - np.eye(n)).max() < 1e-4
+    assert np.abs(np.asarray(ui) @ up - np.eye(n)).max() < 1e-4
+    # Direct-solve reference (n <= b skips the bisection entirely).
+    li_ref, _ = invert_triangular(low, lower=True, unit_diagonal=False,
+                                  b=1024)
+    np.testing.assert_allclose(np.asarray(li), np.asarray(li_ref),
+                               rtol=1e-4, atol=1e-6)
