@@ -156,6 +156,27 @@ def solve(a: jax.Array, b: jax.Array, *, method: str = "auto",
         b = b[..., None]
     hp = jax.lax.Precision.HIGHEST
 
+    if method == "cholesky":
+        # potrf + potrs: never forms the inverse (the SPD analog of the LU
+        # branch below).
+        from gpu_matrix_inversion_tpu.ops.cholesky import (cholesky_factor,
+                                                           cholesky_solve)
+        l, ok_f = cholesky_factor(a, **({} if block_size is None
+                                        else {"block_size": block_size}))
+        x, ok_s = cholesky_solve(l, b)
+        ok = jnp.logical_and(ok_f, ok_s)
+        for _ in range(refine_iters):
+            r = b - jnp.matmul(a, x, preferred_element_type=a.dtype,
+                               precision=hp)
+            dx, _ = cholesky_solve(l, r)
+            x = x + dx
+        if refine_iters > 0:
+            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(x),
+                                             axis=(-2, -1)))
+        if vec:
+            x = x[..., 0]
+        return x, ok
+
     lu_auto = (method == "auto" and a.shape[-1] >= _BLOCKED_MIN_N)
     if method == "lu" or lu_auto:
         # Triangular solves (getrs); blocked factor + XLA triangular-solve

@@ -57,10 +57,35 @@ def _chol_factor_blocked_2d(a: jax.Array, *, b: int) -> Tuple[jax.Array,
             pan = lax.linalg.triangular_solve(
                 lkk, below, left_side=False, lower=True, transpose_a=True)
             w = lax.dynamic_update_slice(w, pan, (k0 + b, k0))
-            trail = lax.slice(w, (k0 + b, k0 + b), (m, m))
-            trail = trail - jnp.matmul(pan, pan.T, precision=hp,
-                                       preferred_element_type=dt)
-            w = lax.dynamic_update_slice(w, trail, (k0 + b, k0 + b))
+            if rows >= 1024:
+                # The trailing update is a syrk: its result is symmetric,
+                # so row strip [i0, ie) only needs columns < ie -- a dense
+                # GEMM would schedule ~2x the MACs (same trick as
+                # ops.lu._tri_mm_chunks). The strictly-upper region of the
+                # trailing block goes STALE after this, which is safe:
+                # later panels read only diagonal blocks (fully inside the
+                # computed wedge) and strictly-lower panel columns, and
+                # the output is masked to the lower triangle at the end.
+                # cw must be a multiple of b: diagonal blocks are b-aligned
+                # in the trailing frame, so b | cw keeps every block inside
+                # one strip (a straddling block's top rows would read the
+                # stale wedge).
+                cw = -(-rows // 4)
+                cw = -(-cw // b) * b
+                for i0 in range(0, rows, cw):
+                    ie = min(i0 + cw, rows)
+                    strip = lax.slice(w, (k0 + b + i0, k0 + b),
+                                      (k0 + b + ie, k0 + b + ie))
+                    strip = strip - jnp.matmul(
+                        pan[i0:ie], pan[:ie].T, precision=hp,
+                        preferred_element_type=dt)
+                    w = lax.dynamic_update_slice(w, strip,
+                                                 (k0 + b + i0, k0 + b))
+            else:
+                trail = lax.slice(w, (k0 + b, k0 + b), (m, m))
+                trail = trail - jnp.matmul(pan, pan.T, precision=hp,
+                                           preferred_element_type=dt)
+                w = lax.dynamic_update_slice(w, trail, (k0 + b, k0 + b))
     l = jnp.where(r_i >= c_i, w, jnp.zeros_like(w))
     diag = jnp.diagonal(l)
     ok = jnp.logical_and(jnp.all(jnp.isfinite(l)), jnp.all(diag > 0))

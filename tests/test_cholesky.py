@@ -136,3 +136,38 @@ def test_slogdet_singular_and_batched():
         s_np, l_np = np.linalg.slogdet(batch[i])
         assert float(np.asarray(sign)[i]) == pytest.approx(s_np)
         assert float(np.asarray(logabs)[i]) == pytest.approx(l_np, rel=1e-10)
+
+
+def test_factor_chunked_syrk_path():
+    """rows >= 1024 activates the symmetric-aware chunked trailing update
+    (strips skip the stale upper wedge); the factor must still match
+    numpy.linalg.cholesky, including with a block size that does not
+    divide the chunk width evenly."""
+    n = 1200
+    a = spd_matrix(n, seed=77)
+    l, ok = cholesky_factor(a, block_size=64)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(l), np.linalg.cholesky(a),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_solve_dispatch_cholesky():
+    """solve(method='cholesky') must run potrf+potrs (never forming the
+    inverse) and support iterative refinement reusing the factor."""
+    from gpu_matrix_inversion_tpu.models.solver import solve
+    n = 160
+    a = spd_matrix(n, seed=55)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal((n, 2)).astype(np.float32)
+    x, ok = solve(a, b, method="cholesky")
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b),
+                               rtol=5e-3, atol=5e-4)
+    xr, okr = solve(a, b, method="cholesky", refine_iters=2)
+    assert bool(okr)
+    r0 = np.abs(a @ np.asarray(x) - b).max()
+    r1 = np.abs(a @ np.asarray(xr) - b).max()
+    assert r1 <= r0 * 1.5  # refinement never substantially degrades
+    # vector RHS
+    xv, okv = solve(a, b[:, 0], method="cholesky")
+    assert bool(okv) and xv.shape == (n,)

@@ -271,3 +271,15 @@ def test_trtri_chunked_cross_levels():
                                   b=1024)
     np.testing.assert_allclose(np.asarray(li), np.asarray(li_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_getri_trtri_fp64():
+    """The default trtri getri route must hold at float64 too (the factor
+    takes the jnp twin; trtri/product are dtype-generic)."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.ops.lu import lu_inverse_fast
+    a = hollow_random_matrix(200, seed=9, dtype=np.float64)
+    inv, ok = lu_inverse_fast(a)
+    assert bool(ok)
+    err = np.abs(np.asarray(inv) @ a - np.eye(200)).max()
+    assert err < 1e-11
