@@ -165,8 +165,14 @@ def solve(a: jax.Array, b: jax.Array, *, method: str = "auto",
                                         else {"block_size": block_size}))
         x, ok_s = cholesky_solve(l, b)
         ok = jnp.logical_and(ok_f, ok_s)
+        if refine_iters > 0:
+            # The factor reads only a's lower triangle (LAPACK uplo='L');
+            # the refinement residual must use the SAME symmetrized matrix
+            # or a junk upper triangle silently corrupts every correction.
+            low = jnp.tril(a)
+            asym = low + jnp.swapaxes(jnp.tril(a, -1), -1, -2)
         for _ in range(refine_iters):
-            r = b - jnp.matmul(a, x, preferred_element_type=a.dtype,
+            r = b - jnp.matmul(asym, x, preferred_element_type=a.dtype,
                                precision=hp)
             dx, _ = cholesky_solve(l, r)
             x = x + dx

@@ -132,7 +132,9 @@ def cholesky_factor(a: jax.Array, *, block_size: int = 256
 def cholesky_solve(l: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """potrs: solve ``A @ x = b`` given ``A = L @ L.T`` from
     :func:`cholesky_factor`. ``b`` may be ``(..., n, k)`` or ``(..., n)``.
-    Returns ``(x, ok)``."""
+    Returns ``(x, ok)``. Solve tier the reference never built -- it only
+    ever forms explicit inverses and concedes the factorization route wins
+    (``/root/reference/README.md:62``)."""
     vec = (b.ndim == l.ndim - 1)
     if vec:
         b = b[..., None]
@@ -147,28 +149,18 @@ def cholesky_solve(l: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return x, ok
 
 
-def _potri_product(linv: jax.Array, *, chunk: int = 512) -> jax.Array:
-    """``L^-T @ L^-1`` exploiting triangularity: rows of ``L^-1`` above a
-    column chunk's start are zero in the chunk, so chunk J only contracts
-    ``linv[j0:, :]`` -- the same ~halving as ``ops.lu._getri_product``."""
-    n = linv.shape[-1]
-    hp = jax.lax.Precision.HIGHEST
-    cols = []
-    for j0 in range(0, n, chunk):
-        c = min(chunk, n - j0)
-        cols.append(jnp.matmul(linv[..., j0:, :].mT,
-                               linv[..., j0:, j0:j0 + c],
-                               precision=hp,
-                               preferred_element_type=linv.dtype))
-    return jnp.concatenate(cols, axis=-1)
-
-
 @jax.jit
 def _cholesky_inverse_jit(a: jax.Array):
-    from gpu_matrix_inversion_tpu.ops.lu import invert_triangular
+    from gpu_matrix_inversion_tpu.ops.lu import (_getri_product,
+                                                 invert_triangular)
     l, ok_f = cholesky_factor(a)
     linv, ok_t = invert_triangular(l, lower=True, unit_diagonal=False)
-    inv = _potri_product(linv)
+    # Same dead-intermediate guard as _lu_inverse_trtri (CLAUDE.md #6):
+    # linv is a slice/concat product consumed only by the GEMMs below.
+    linv = lax.optimization_barrier(linv)
+    # A^-1 = L^-T @ L^-1: the shared chunked product exploits L^-1's
+    # lower triangularity (~halves the MACs).
+    inv = _getri_product(jnp.swapaxes(linv, -1, -2), linv)
     ok = jnp.logical_and(jnp.logical_and(ok_f, ok_t),
                          jnp.all(jnp.isfinite(inv), axis=(-2, -1)))
     return inv, ok

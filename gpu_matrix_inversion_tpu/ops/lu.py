@@ -726,7 +726,10 @@ def invert_triangular(t: jax.Array, *, lower: bool = True,
     """trtri: explicit inverse of a triangular matrix, batched over leading
     axes. Returns ``(inverse, ok)``; ``ok`` is False on a zero diagonal
     (or any non-finite output). The off-triangle of ``t`` is ignored.
-    ``b`` overrides the measured-default base block (``_trtri_default_b``)."""
+    ``b`` overrides the measured-default base block (``_trtri_default_b``).
+    Replaces the reference's O(N)-launch serial elimination sweep tier
+    (``matrix_inversion_FP32.cpp:622-705``) with log2(n/b) levels of
+    batched MXU GEMMs for the inverse-assembly phase."""
     if t.ndim < 2 or t.shape[-1] != t.shape[-2]:
         raise ValueError(f"expected (..., n, n) square matrix, got {t.shape}")
     n = t.shape[-1]
@@ -747,20 +750,22 @@ def invert_triangular(t: jax.Array, *, lower: bool = True,
     return out, ok
 
 
-def _getri_product(uinv: jax.Array, linv: jax.Array, *, chunk: int = 512):
-    """U^-1 @ L^-1 exploiting triangularity: column-chunk J only multiplies
-    the rows of L^-1 at or below J's start (the rest are zero), cutting the
-    dense n^3 MACs to ~n^3/2 at chunk << n. Static Python loop; one MXU
-    GEMM per chunk (chunk=512 measured faster than 1024 at 4096: 2.6 vs
-    3.1 ms -- the extra triangularity win beats the narrower GEMMs)."""
-    n = uinv.shape[-1]
+def _getri_product(left: jax.Array, linv: jax.Array, *, chunk: int = 512):
+    """``left @ linv`` exploiting ``linv``'s LOWER triangularity (batched
+    over leading axes): column-chunk J only multiplies the rows of ``linv``
+    at or below J's start (the rest are zero), cutting the dense n^3 MACs
+    to ~n^3/2 at chunk << n. Static Python loop; one MXU GEMM per chunk
+    (chunk=512 measured faster than 1024 at 4096: 2.6 vs 3.1 ms -- the
+    extra triangularity win beats the narrower GEMMs). Used by getri
+    (left = U^-1) and potri (left = L^-T)."""
+    n = left.shape[-1]
     hp = jax.lax.Precision.HIGHEST
     cols = []
     for j0 in range(0, n, chunk):
         c = min(chunk, n - j0)
-        cols.append(jnp.matmul(uinv[:, j0:], linv[j0:, j0:j0 + c],
+        cols.append(jnp.matmul(left[..., :, j0:], linv[..., j0:, j0:j0 + c],
                                precision=hp,
-                               preferred_element_type=uinv.dtype))
+                               preferred_element_type=left.dtype))
     return jnp.concatenate(cols, axis=-1)
 
 
@@ -774,6 +779,11 @@ def _lu_inverse_trtri(a: jax.Array):
     lu, perm, ok_f = lu_factor_blocked(a)
     linv, ok_l = invert_triangular(lu, lower=True, unit_diagonal=True)
     uinv, ok_u = invert_triangular(lu, lower=False, unit_diagonal=False)
+    # linv/uinv are slice/concat-built intermediates consumed ONLY by the
+    # GEMMs below inside one jit program -- the XLA:TPU dead-intermediate
+    # rewrite trigger (DESIGN.md section 9, CLAUDE.md hazard #6); guard the
+    # seam like ops/refine.py does.
+    linv, uinv = lax.optimization_barrier((linv, uinv))
     prod = _getri_product(uinv, linv)
     # A^-1 = U^-1 L^-1 P and (P x)[i] = x[perm[i]], so column j of the
     # result is column invperm[j] of the product.

@@ -171,3 +171,23 @@ def test_solve_dispatch_cholesky():
     # vector RHS
     xv, okv = solve(a, b[:, 0], method="cholesky")
     assert bool(okv) and xv.shape == (n,)
+
+
+def test_solve_cholesky_refine_ignores_upper_junk():
+    """Regression (round-3 review): the refinement residual must use the
+    SAME lower-triangle-symmetrized matrix the factor consumed -- with
+    garbage above the diagonal, refine_iters>0 used to diverge to ~1e7
+    while ok stayed True."""
+    from gpu_matrix_inversion_tpu.models.solver import solve
+    n = 96
+    a = spd_matrix(n, seed=13)
+    junk = a.copy()
+    junk[np.triu_indices(n, 1)] = 444.0
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal((n, 2)).astype(np.float32)
+    x0, ok0 = solve(a, b, method="cholesky", refine_iters=2)
+    xj, okj = solve(junk, b, method="cholesky", refine_iters=2)
+    assert bool(ok0) and bool(okj)
+    np.testing.assert_allclose(np.asarray(xj), np.asarray(x0),
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(a @ np.asarray(xj) - b).max() < 1e-3
