@@ -77,9 +77,18 @@ def sweep_numpy(max_n: int, out, *, repeat: int = 1, skip=(), sizes=None):
         out.flush()
 
 
+def _spd_matrix(n: int, *, seed: int, dtype=np.float32):
+    """SPD test input for the Cholesky family: ``G Gᵀ/n + I`` (the analog of
+    the reference's hollow recipe, which has a zero diagonal and is never
+    SPD)."""
+    rng = np.random.default_rng(seed)
+    g = rng.standard_normal((n, n))
+    return ((g @ g.T) / n + np.eye(n)).astype(dtype)
+
+
 def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
               dtype=np.float32, skip=(), sizes=None, amortize: int = 0,
-              strict_verify: bool = False):
+              strict_verify: bool = False, spd: bool = False):
     """C9/C13 parity: device sweep with Res-style phase timings per row.
 
     Row format: ``N t_buffers t_compile t_compute t_readback t_total
@@ -111,7 +120,8 @@ def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
     for n in (sizes if sizes is not None else reference_sizes(max_n)):
         if n in skip:
             continue
-        a_host = hollow_random_matrix(n, seed=n, dtype=dtype)
+        a_host = (_spd_matrix(n, seed=n, dtype=dtype) if spd
+                  else hollow_random_matrix(n, seed=n, dtype=dtype))
 
         t0 = time.perf_counter()
         a = jax.device_put(jnp.asarray(a_host))
@@ -178,8 +188,8 @@ def main(argv=None):
     ap.add_argument("--max-n", type=int, default=2000,
                     help="largest matrix order (reference goes to 16000)")
     ap.add_argument("--method", default="auto",
-                    choices=["auto", "spec", "fused", "blocked", "lu", "ns",
-                             "sharded"],
+                    choices=["auto", "spec", "fused", "blocked", "lu",
+                             "cholesky", "ns", "sharded"],
                     help="inversion path (models/solver.py METHODS); "
                          "'sharded' runs the mesh path over all visible "
                          "devices")
@@ -204,6 +214,9 @@ def main(argv=None):
     ap.add_argument("--strict-verify", action="store_true",
                     help="append the on-device max|A@X - I| column (the "
                          "reference's identity self-check, FP32.cpp:814-835)")
+    ap.add_argument("--spd", action="store_true",
+                    help="use SPD inputs (G G^T/n + I) instead of the "
+                         "hollow recipe; pair with --method cholesky")
     args = ap.parse_args(argv)
 
     skip = _done_sizes(args.out) if args.resume else set()
@@ -221,7 +234,7 @@ def main(argv=None):
             sweep_tpu(args.max_n, out, method=args.method,
                       repeat=args.repeat, dtype=dtype, skip=skip,
                       sizes=sizes, amortize=args.amortize,
-                      strict_verify=args.strict_verify)
+                      strict_verify=args.strict_verify, spd=args.spd)
     finally:
         if out is not sys.stdout:
             out.close()

@@ -259,6 +259,11 @@ class Inverter:
         if cfg.refine_iters > 0:
             from gpu_matrix_inversion_tpu.ops.refine import (
                 newton_schulz_refine)
+            if cfg.method == "cholesky":
+                # The factor consumed only the lower triangle (uplo='L');
+                # refine against the same symmetrized matrix, not the
+                # caller's (possibly junk) upper triangle.
+                a = jnp.tril(a) + jnp.swapaxes(jnp.tril(a, -1), -1, -2)
             x = newton_schulz_refine(a, x, iters=cfg.refine_iters)
             ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(x),
                                              axis=(-2, -1)))

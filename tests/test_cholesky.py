@@ -191,3 +191,21 @@ def test_solve_cholesky_refine_ignores_upper_junk():
     np.testing.assert_allclose(np.asarray(xj), np.asarray(x0),
                                rtol=1e-5, atol=1e-6)
     assert np.abs(a @ np.asarray(xj) - b).max() < 1e-3
+
+
+def test_inverter_cholesky_refine_ignores_upper_junk():
+    """Inverter(method='cholesky', refine_iters>0) must Newton-Schulz
+    against the symmetrized matrix the factor consumed, not the caller's
+    upper triangle."""
+    from gpu_matrix_inversion_tpu import Inverter
+    n = 80
+    a = spd_matrix(n, seed=17)
+    junk = a.copy()
+    junk[np.triu_indices(n, 1)] = 555.0
+    inv = Inverter(dtype="float32", method="cholesky", refine_iters=2)
+    x0, ok0 = inv.inverse(a)
+    xj, okj = inv.inverse(junk)
+    assert bool(ok0) and bool(okj)
+    np.testing.assert_allclose(np.asarray(xj), np.asarray(x0),
+                               rtol=1e-5, atol=1e-7)
+    assert relative_residual(a, np.asarray(xj)) < 1e-6

@@ -53,3 +53,15 @@ def test_device_sweep_amortized_column():
     cols = rows[-1].split()
     assert len(cols) == 9  # trailing amortized per-inversion time
     assert float(cols[8]) >= 0.0
+
+
+def test_device_sweep_spd_cholesky():
+    """--spd generates SPD inputs so --method cholesky sweeps cleanly."""
+    out = io.StringIO()
+    sweep_tpu(0, out, method="cholesky", repeat=1, sizes=[48, 96], spd=True)
+    rows = out.getvalue().strip().splitlines()
+    assert len(rows) == 2
+    for row in rows:
+        cols = row.split()
+        assert len(cols) == 8
+        assert float(cols[7]) < 1e-5  # SPD potri residual tier
