@@ -83,7 +83,7 @@ def _spd_matrix(n: int, *, seed: int, dtype=np.float32):
     SPD)."""
     rng = np.random.default_rng(seed)
     g = rng.standard_normal((n, n))
-    return ((g @ g.T) / n + np.eye(n)).astype(dtype)
+    return (np.matmul(g, g.T) / n + np.eye(n)).astype(dtype)
 
 
 def sweep_tpu(max_n: int, out, *, method: str = "auto", repeat: int = 3,
