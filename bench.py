@@ -25,9 +25,13 @@ Two flop models (VERDICT r2 #6): ``*_gflops_4n3`` uses the reference's
 *algorithmic* rate that can legitimately exceed the hardware matmul peak
 because the windowed slot layout schedules about half those MACs
 (Strassen-style accounting). ``*_gflops_effective`` divides the MACs the
-path actually issues (ops/blocked.effective_gemm_flops) by the same time:
-that is the hardware-utilization number and must stay below the measured
-~22 TF/s f32-HIGHEST matmul peak.
+path actually issues (ops/blocked.effective_gemm_flops,
+ops/lu.getri_effective_flops, ops/cholesky.potri_effective_flops) by the
+same time: that is the hardware-utilization number and must stay below the
+f32-HIGHEST matmul peak, which is measured LIVE in the same run
+(``matmul_peak_tflops_f32_highest``) so the ``*_mfu`` fields and the
+``mfu_target_met`` flag (BASELINE's >=60%-of-roofline ask for the 4096^2
+blocked path) are self-contained (VERDICT r3 #2).
 """
 
 from __future__ import annotations
@@ -118,8 +122,34 @@ def main() -> None:
     t_np = (time.perf_counter() - t0) / n_np
     np_inv_per_s = 1.0 / t_np
 
-    # --- 4096^2 blocked Gauss-Jordan (configs[1]) --------------------------
+    # --- measured matmul roofline (VERDICT r3 #2) --------------------------
+    # The MFU denominator, measured live: f32 HIGHEST 4096^3 GEMM, amortized
+    # like every other sub-100ms op here. All effective rates below divide
+    # scheduled MACs by time; dividing by this peak gives the MFU the
+    # BASELINE >=60%-of-roofline target refers to.
     n_big = 4096
+    rng_mm = np.random.default_rng(3)
+    g_mm = jnp.asarray(rng_mm.standard_normal((n_big, n_big)),
+                       dtype=jnp.float32)
+
+    def make_mm(k):
+        @jax.jit
+        def p(a):
+            def body(c, _):
+                out = jnp.matmul(a + c, a,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+                return c + jnp.float32(1e-7), jnp.sum(out)
+            c, outs = lax.scan(body, jnp.float32(0), None, length=k)
+            return jnp.sum(outs) + c
+        return p
+
+    _trace("matmul peak 4096^3 (f32 HIGHEST)")
+    t_mm, _ = _amortized(make_mm, g_mm, 1, 8)
+    peak_tflops = 2 * n_big**3 / t_mm / 1e12
+    del g_mm
+
+    # --- 4096^2 blocked Gauss-Jordan (configs[1]) --------------------------
     a_big = jnp.asarray(hollow_random_matrix(n_big, seed=1))
 
     def make_blocked(k, refine):
@@ -151,6 +181,8 @@ def main() -> None:
     t_lu, _ = _amortized(make_lu, a_big, 1, 3)
     gflops_raw = 4 * n_big**3 / t_raw / 1e9
     gflops_raw_eff = effective_gemm_flops(n_big) / t_raw / 1e9
+    from gpu_matrix_inversion_tpu.ops.lu import getri_effective_flops
+    gflops_lu_eff = getri_effective_flops(n_big) / t_lu / 1e9
 
     # --- SPD potri 4096 (Cholesky family; no reference counterpart) --------
     from gpu_matrix_inversion_tpu.ops.cholesky import cholesky_inverse
@@ -172,6 +204,8 @@ def main() -> None:
 
     _trace("cholesky potri 4096 scans")
     t_potri, _ = _amortized(make_potri, a_spd, 1, 3)
+    from gpu_matrix_inversion_tpu.ops.cholesky import potri_effective_flops
+    gflops_potri_eff = potri_effective_flops(n_big) / t_potri / 1e9
     inv_spd, ok_spd = cholesky_inverse(a_spd)
     resid_spd = relative_residual(np.asarray(a_spd), np.asarray(inv_spd))
     del a_spd, inv_spd
@@ -232,13 +266,25 @@ def main() -> None:
         "blocked_4096_ms_refined": round(t_ref * 1e3, 1),
         "blocked_4096_ms_refined_single_call": round(t_ref_single * 1e3, 1),
         "lu_getri_4096_ms": round(t_lu * 1e3, 1),
+        "lu_getri_4096_gflops_effective": round(gflops_lu_eff, 1),
         "cholesky_potri_4096_ms": round(t_potri * 1e3, 1),
+        "cholesky_potri_4096_gflops_effective": round(gflops_potri_eff, 1),
         "potri_4096_residual": float(f"{resid_spd:.3g}"),
         "blocked_4096_gflops_4n3": round(gflops_raw, 1),
         "blocked_4096_gflops_effective": round(gflops_raw_eff, 1),
         "blocked_16384_ms": round(t_huge * 1e3, 1),
         "blocked_16384_gflops_4n3": round(gflops_huge, 1),
         "blocked_16384_gflops_effective": round(gflops_huge_eff, 1),
+        # Self-grading roofline (VERDICT r3 #2): MFU = effective rate over
+        # the LIVE-measured f32 HIGHEST matmul peak; the BASELINE asks
+        # >= 0.60 for the 4096^2 blocked path.
+        "matmul_peak_tflops_f32_highest": round(peak_tflops, 2),
+        "blocked_4096_mfu": round(gflops_raw_eff / 1e3 / peak_tflops, 3),
+        "blocked_16384_mfu": round(gflops_huge_eff / 1e3 / peak_tflops, 3),
+        "lu_getri_4096_mfu": round(gflops_lu_eff / 1e3 / peak_tflops, 3),
+        "cholesky_potri_4096_mfu": round(
+            gflops_potri_eff / 1e3 / peak_tflops, 3),
+        "mfu_target_met": bool(gflops_raw_eff / 1e3 / peak_tflops >= 0.60),
         "sharded_4096_ms_single_call_1dev": round(t_sharded * 1e3, 1),
         "sharded_vs_blocked_single_call": round(
             t_sharded / max(t_raw_single, 1e-9), 2),

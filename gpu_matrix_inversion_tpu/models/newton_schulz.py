@@ -66,10 +66,18 @@ def newton_schulz_inverse(a: jax.Array, *, iters: int = 30,
             x = step(x.astype(dtype), prec=hp, dt=dtype)
     x = x.astype(dtype)
 
-    # Converged iff the residual contracted below a loose threshold.
+    # Converged iff the normwise RELATIVE backward error is small:
+    # ||I - A X||_F / (||A||_F ||X||_F) -- the same scale-invariant metric
+    # as utils/residual.relative_residual and the BASELINE <=1e-4 gate.
+    # (The round-3 gate ``rnorm < 1e-3 * n`` was absolute: at n = 4096 a
+    # Frobenius residual of 4.0 passed as ok=True, and rescaling A flipped
+    # the verdict -- VERDICT r3 weak #6.)
     r = eye - jnp.matmul(a, x, preferred_element_type=dtype, precision=hp)
     rnorm = jnp.sqrt(jnp.sum(r * r, axis=(-2, -1)))
-    tol = 1e-3 * n if dtype == jnp.float32 else 1e-10 * n
-    ok = jnp.logical_and(rnorm < tol,
+    anorm = jnp.sqrt(jnp.sum(a * a, axis=(-2, -1)))
+    xnorm = jnp.sqrt(jnp.sum(x * x, axis=(-2, -1)))
+    scale = jnp.maximum(anorm * xnorm, jnp.finfo(dtype).tiny)
+    tol = 1e-12 if dtype == jnp.float64 else 1e-4
+    ok = jnp.logical_and(rnorm < tol * scale,
                          jnp.all(jnp.isfinite(x), axis=(-2, -1)))
     return x, ok

@@ -166,6 +166,31 @@ def _cholesky_inverse_jit(a: jax.Array):
     return inv, ok
 
 
+def potri_effective_flops(n: int, *, block_size: int = 256) -> int:
+    """Flops (2 * MACs) one :func:`cholesky_inverse` call schedules --
+    blocked potrf (chunked-syrk trailing), one trtri(L), and the chunked
+    ``L^-T @ L^-1`` product -- tracking the exact chunk geometry the code
+    selects (VERDICT r3 #2: bench.py's honest-rate accounting, the SPD
+    analog of ``ops.blocked.effective_gemm_flops``)."""
+    from gpu_matrix_inversion_tpu.ops.lu import (_getri_product_flops,
+                                                 _trtri_effective_flops)
+    b = min(block_size, max(-(-n // 8) * 8, 8))
+    m = max(-(-n // b) * b, b)
+    fl = 0
+    for k0 in range(0, m, b):
+        rows = m - k0 - b
+        if rows:
+            fl += rows * b * b  # panel solve vs L_kk^T (~rows*b^2/2 MACs)
+            if rows >= 1024:    # chunked syrk: strip i only needs cols < ie
+                cw = -(-(-(-rows // 4)) // b) * b
+                for i0 in range(0, rows, cw):
+                    ie = min(i0 + cw, rows)
+                    fl += 2 * (ie - i0) * b * ie
+            else:
+                fl += 2 * rows * rows * b  # dense trailing GEMM
+    return fl + _trtri_effective_flops(n) + _getri_product_flops(n)
+
+
 def cholesky_inverse(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """potri: explicit inverse of SPD ``a`` via ``A^-1 = L^-T L^-1``.
 

@@ -871,6 +871,76 @@ def _lu_inverse_fast_oneshot(a: jax.Array):
     return inv, jnp.logical_and(ok_f, ok_s)
 
 
+# --------------------------------------------------------------------------
+# Scheduled-flop models (VERDICT r3 #2): count the MACs the implementations
+# above actually issue (2 flops per MAC), so bench.py can report honest
+# effective rates/MFU next to the reference's algorithmic models
+# (``matrix_inversion_FP64.cpp:751-755``). Triangular solves are counted at
+# their algorithmic ~k^2/2-MACs-per-RHS-column cost; the models track the
+# exact chunk/group geometry the code selects, so they are accurate to the
+# small (b, b) base cases (<1% at n >= 2048).
+# --------------------------------------------------------------------------
+
+
+def _trtri_effective_flops(n: int, b: int | None = None) -> int:
+    """Flops one :func:`_trtri_blocked_2d` call schedules (one triangle)."""
+    if b is None:
+        b = _trtri_default_b(n)
+    if n <= b:
+        return n**3  # triangular solve vs I: ~n^3/2 MACs
+    levels = max((-(-n // b) - 1).bit_length(), 0)
+    base = -(-n // (1 << levels))
+    base = -(-base // 8) * 8
+    m = base * (1 << levels)
+    fl = (m // base) * base**3  # batched diagonal-block solves vs I
+    for level in range(levels):
+        s = base << level
+        npairs = m // (2 * s)
+        mult = (1 + 1 / _tri_mm_chunks(s)) / 2  # 0.625 chunked, 1.0 dense
+        # two chunked (s, s) cross products per pair (right then left)
+        fl += npairs * 2 * int(2 * mult * s**3)
+    return fl
+
+
+def _getri_product_flops(n: int, chunk: int = 512) -> int:
+    """Flops of :func:`_getri_product`'s triangular-aware column chunks."""
+    fl = 0
+    for j0 in range(0, n, chunk):
+        fl += 2 * n * (n - j0) * min(chunk, n - j0)
+    return fl
+
+
+def getrf_effective_flops(n: int, *, block_size: int = 128) -> int:
+    """Flops :func:`lu_factor_blocked`'s grouped fp32 path schedules."""
+    from gpu_matrix_inversion_tpu.ops.blocked import (_default_group_size,
+                                                      _select_block_params)
+    b, _, _ = _select_block_params(n, min(block_size, max(n, 8)),
+                                   jnp.float32, False)
+    group = int(os.environ.get("MATINV_LU_GROUP", 0)
+                ) or _default_group_size(b)
+    m = max(-(-n // b) * b, b)
+    fl = 0
+    for k0, gsize in _lu_group_sizes(m // b, group):
+        gw = gsize * b
+        rest = m - k0 * b - gw
+        # Per panel: lall solve (m, b) + psel @ u11 + u_all (b, gw) solve
+        # + rank-b strip GEMM + the search kernel's deferred dots (~m*b^2).
+        fl += gsize * (m * b * b + 2 * m * b * b + b * b * gw
+                       + 2 * m * b * gw + 2 * m * b * b)
+        if rest:
+            fl += gw * gw * rest       # u_rest unit-lower solve
+            fl += 2 * m * gw * rest    # rank-gw window update
+    return fl
+
+
+def getri_effective_flops(n: int) -> int:
+    """Flops the default trtri-route getri (:func:`lu_inverse_fast`)
+    schedules: grouped getrf + L/U trtri pair + the chunked
+    ``U^-1 @ L^-1`` product."""
+    return (getrf_effective_flops(n) + 2 * _trtri_effective_flops(n)
+            + _getri_product_flops(n))
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def cond_estimate(a: jax.Array, inv: jax.Array, *, iters: int = 8,
                   seed: int = 0):

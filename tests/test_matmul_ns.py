@@ -69,6 +69,29 @@ def test_newton_schulz_flags_nonconvergence():
     assert not bool(ok)
 
 
+def test_newton_schulz_gate_is_scale_invariant():
+    """VERDICT r3 weak #6: the ok gate must be the normwise RELATIVE
+    backward error, so (a) a non-converged ill-conditioned input reports
+    ok=False, and (b) rescaling A never flips the verdict (the old
+    ``rnorm < 1e-3 * n`` absolute gate did both wrong)."""
+    rng = np.random.default_rng(93)
+    n = 192
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = ((q * np.logspace(0, -7, n)) @ q.T).astype(np.float32)  # cond ~1e7
+    x, ok = newton_schulz_inverse(a, iters=8)
+    assert relative_residual(a, np.asarray(x)) > 1e-3  # truly unconverged
+    assert not bool(ok)
+    # Scaling the unconverged input down must not buy an ok=True.
+    _, ok_dn = newton_schulz_inverse(a * np.float32(1e-6), iters=8)
+    assert not bool(ok_dn)
+    # A converged inverse must stay ok=True under heavy rescaling in both
+    # directions (the absolute gate failed the up-scaled one).
+    b = well_conditioned_matrix(96, seed=94)
+    for s in (1e-6, 1e6):
+        _, ok_s = newton_schulz_inverse((b * s).astype(np.float32), iters=30)
+        assert bool(ok_s), f"converged inverse flagged not-ok at scale {s}"
+
+
 def test_solver_ns_method():
     a = well_conditioned_matrix(64, seed=92)
     x, ok = inverse(a, method="ns")

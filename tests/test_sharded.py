@@ -148,6 +148,47 @@ def test_sharded_group_straddles_shards():
     assert relative_residual(a, np.asarray(inv)) < 1e-5
 
 
+def test_sharded_production_geometry():
+    """VERDICT r3 #3: the mesh path at PRODUCTION geometry -- n=4096,
+    b=128, the default group width (gw=1536) -- on a 4-device mesh
+    (w=2048), so the features toy shapes never reach actually execute
+    multi-device: the two-owner straddling strip gather (group 1 spans
+    columns 1536:3072 across the shard boundary at 2048), straddling slot
+    deposits (group 1's slots span the boundary at 6144), the tail group
+    (32 panels = 2 full groups of 12 + tail of 8), and ``_unpermute`` at
+    real shard widths. ~35 s on the virtual CPU mesh (jnp factor path)."""
+    from gpu_matrix_inversion_tpu.parallel.sharded import _sharded_params
+
+    n, d = 4096, 4
+    b, m, group, _, _ = _sharded_params(n, 128, d, jnp.float32, False, None)
+    assert (b, m) == (128, 4096) and group == 12  # the production gw=1536
+    w = 2 * m // d
+    gw = group * b
+    # The geometry really does straddle: group 1's strip crosses a shard
+    # boundary, as do its slot deposits.
+    assert gw % w != 0 and (gw // w) != ((2 * gw - 1) // w)
+    mesh = make_device_mesh(d, ("x",), platform="cpu")
+    a = hollow_random_matrix(n, seed=40)
+    inv, ok = sharded_blocked_inverse(a, mesh=mesh, refine=1)
+    assert bool(ok)
+    assert relative_residual(a, np.asarray(inv)) < 1e-5
+
+
+def test_sharded_solve():
+    """solve() through the sharded method (VERDICT r3 #3): the mesh
+    inverse feeds the solve GEMM; the result must solve the system."""
+    from gpu_matrix_inversion_tpu.models.solver import solve
+
+    mesh = make_device_mesh(4, ("x",), platform="cpu")
+    a = hollow_random_matrix(256, seed=41)
+    rng = np.random.default_rng(42)
+    b = rng.standard_normal((256, 8)).astype(np.float32)
+    x, ok = solve(a, b, method="sharded", mesh=mesh)
+    assert bool(ok)
+    r = np.linalg.norm(a.astype(np.float64) @ np.asarray(x) - b)
+    assert r / np.linalg.norm(b) < 1e-4
+
+
 def test_sharded_refine_polish():
     mesh = make_device_mesh(4, ("x",), platform="cpu")
     a = hollow_random_matrix(192, seed=75)
