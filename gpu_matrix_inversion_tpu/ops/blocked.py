@@ -252,6 +252,166 @@ def _panel_factor_kernel(kb_ref, stripT_ref, used_ref, *rest, m: int, b: int,
                                         (1, 1))
 
 
+def _panel_factor_kernel2(kb_ref, stripT_ref, used_ref, *rest, m: int, b: int,
+                          sub: int, kmask: int, pivot: bool, emit_ct: bool):
+    """Latency-tuned rewrite of ``_panel_factor_kernel`` (round 4).
+
+    Same mathematics, same pivot sequence, bit-identical outputs (pinned by
+    a CPU interpret-mode parity test) -- but the per-step serial dependency
+    chain, which floors the 4096^2 blocked path at ~2.2 us/pivot-step
+    (DESIGN.md 6b: 9.2 ms of the 14.9 ms total is this chain), is
+    restructured around three ideas:
+
+    1. **No scalar round trips in the loop.** v1 decodes the pivot index to
+       a scalar (``p = kmask - (max(key) & kmask)``), compares lanes against
+       it, extracts the pivot VALUE to a scalar for the ok flag, and writes
+       pivrows via a scalar select -- each a vector->scalar->vector round
+       trip on the critical path. Here the pivot lane mask comes straight
+       from ``key == max(key)`` (packed keys are unique per lane: the low
+       bits hold the lane index), the ok flag accumulates as a (1, 1)
+       vector product, and pivot INDICES are reconstructed once per
+       sub-panel from the accumulated one-hot rows (an int32 masked
+       reduce), entirely off the per-step chain.
+    2. **One fused update instead of two.** The working rows and the
+       transform-probe rows receive the SAME select/normalize/eliminate
+       formula, so they live in one merged (2*sub, m) buffer and each step
+       issues ONE pivot-column reduce and ONE update over (2*sub, m)
+       instead of two dependent (sub, m) pairs.
+    3. **The strip rows are never written back per step.** v1 wrote the
+       eliminated sub-panel rows into the (b, m) working buffer every step;
+       finished rows are never read again (v1's own invariant), so v2 keeps
+       the active sub-panel entirely in the merged scratch.
+    """
+    if emit_ct:
+        pivrows_ref, ct_ref, ok_ref, wp, psel = rest
+        w = ct_ref
+    else:
+        pivrows_ref, w, wp, psel = rest
+    dt = w.dtype
+    kb = kb_ref[0, 0]
+    lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)   # strip-row ids
+    rows_s = lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+    rows_2s = lax.broadcasted_iota(jnp.int32, (2 * sub, 1), 0)
+
+    used = jnp.max(used_ref[:, :].astype(jnp.float32), axis=0,
+                   keepdims=True)  # (1, m)
+    col = stripT_ref[0:1, :]
+    okv = jnp.ones((1, 1), jnp.float32)
+
+    for s in range(b // sub):  # static unroll; all slices static
+        r0 = s * sub
+        # Merged working set: rows [0, sub) = the active strip sub-panel,
+        # rows [sub, 2*sub) = the transform probe (initially zero). The
+        # first sub-panel reads the input ref directly; later ones read the
+        # deferred-updated rows in the (b, m) buffer -- so v1's upfront
+        # whole-strip copy is gone too (rows land in w only via the
+        # deferred updates; rows [0, sub) are never buffered at all).
+        wp[0:sub, :] = (stripT_ref[r0:r0 + sub, :] if s == 0
+                        else w[r0:r0 + sub, :])
+        wp[sub:, :] = jnp.zeros((sub, m), dt)
+        psel[:, :] = jnp.zeros((sub, m), dt)
+
+        def step(r2, carry):
+            used, col, okv = carry
+            if pivot:
+                bits = lax.bitcast_convert_type(
+                    jnp.abs(col).astype(jnp.float32), jnp.int32)
+                key = jnp.where(used > 0, jnp.full_like(lane_m, -1),
+                                (bits & ~jnp.int32(kmask))
+                                | (jnp.int32(kmask) - lane_m))
+                # The packed key is unique per lane (low bits = reversed
+                # lane index), so key == max(key) is a one-hot lane mask --
+                # no scalar pivot-index decode on the chain.
+                lane_p = (key == jnp.max(key, axis=1, keepdims=True))
+            else:
+                lane_p = (lane_m == kb + jnp.int32(r0) + r2)
+            used = jnp.where(lane_p, jnp.ones_like(used), used)
+            lp = lane_p.astype(dt)                          # (1, m)
+
+            # Inject the probe's identity one-hot (same late-injection
+            # argument as v1) and record it for psel/pivrows.
+            cur = wp[:, :] + (rows_2s == sub + r2).astype(dt) * lp
+            psel[:, :] = psel[:, :] + (rows_s == r2).astype(dt) * lp
+
+            pivcol = jnp.sum(jnp.where(lane_p, cur, jnp.zeros_like(cur)),
+                             axis=1, keepdims=True)        # (2*sub, 1)
+            pv = jnp.sum(jnp.where(rows_2s == r2, pivcol,
+                                   jnp.zeros_like(pivcol)),
+                         axis=0, keepdims=True)             # (1, 1)
+            okv = okv * (pv != 0).astype(jnp.float32)
+            norm = pivcol / jnp.where(pv == 0, jnp.ones_like(pv),
+                                      pv).astype(dt)
+            factors = jnp.where(lane_p, jnp.zeros_like(col), col)
+            new = jnp.where(lane_p, jnp.broadcast_to(norm, (2 * sub, m)),
+                            cur - norm * factors)
+            wp[:, :] = new
+            # Next step's strip column = working row r2+1 (zero after the
+            # last step; the deferred update below rebuilds it).
+            col = jnp.sum(jnp.where(rows_2s == r2 + 1, new,
+                                    jnp.zeros_like(new)),
+                          axis=0, keepdims=True)            # (1, m)
+            return used, col, okv
+
+        import os
+        if os.environ.get("MATINV_V2_UNROLL"):
+            # Static unroll: ~sub x the code, but no per-iteration Mosaic
+            # loop overhead and cross-step scheduling freedom (A/B'd on
+            # hardware via the env var; see DESIGN.md 6e).
+            carry = (used, col, okv)
+            for r2s in range(sub):
+                carry = step(jnp.int32(r2s), carry)
+            used, col, okv = carry
+        else:
+            used, col, okv = lax.fori_loop(jnp.int32(0), jnp.int32(sub),
+                                           step, (used, col, okv))
+
+        # Pivot indices for this sub-panel, off the per-step chain: the
+        # accumulated one-hots are exact in any dtype; the index arithmetic
+        # runs in int32 (bf16 cannot represent lane ids past 256).
+        ponehot = (psel[:, :] != 0).astype(jnp.int32)       # (sub, m)
+        pivrows_ref[r0:r0 + sub, :] = jnp.sum(
+            ponehot * lane_m, axis=1, keepdims=True)
+
+        prec = (lax.Precision.DEFAULT if dt == jnp.bfloat16
+                else lax.Precision.HIGHEST)  # see v1's precision note
+        ct_l = wp[sub:, :] - psel[:, :]                     # (sub, m)
+        if r0 + sub < b:
+            # Deferred composite update of the later rows (identical to
+            # v1's two MXU dots; reads them from the (b, m) buffer, where
+            # they are untouched by the in-scratch sub-panel steps).
+            wl = (stripT_ref[r0 + sub:, :] if s == 0
+                  else w[r0 + sub:, :])
+            g = lax.dot_general(wl, psel[:, :], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+            upd = lax.dot_general(g.astype(dt), ct_l,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+            new_wl = wl + upd.astype(dt)
+            w[r0 + sub:, :] = new_wl
+            col = new_wl[0:1, :]
+        if emit_ct and r0 > 0:
+            # Finished probe rows get this sub-panel's deferred transform.
+            ct0 = ct_ref[0:r0, :]
+            g0 = lax.dot_general(ct0, psel[:, :], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+            upd0 = lax.dot_general(g0.astype(dt), ct_l,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+            ct_ref[0:r0, :] = ct0 + upd0.astype(dt)
+        if emit_ct:
+            ct_ref[r0:r0 + sub, :] = ct_l
+
+    if emit_ct:
+        fin = jnp.sum(ct_ref[:, :] * jnp.zeros((b, m), dt))
+        ok_ref[:, :] = jnp.broadcast_to(
+            (okv > 0).astype(jnp.int32) * (fin == 0).astype(jnp.int32),
+            (1, 1))
+
+
 def _factor_geometry(m: int, b: int):
     """(sub, kmask) for the panel kernels.
 
@@ -300,6 +460,15 @@ def _default_group_size(b: int) -> int:
     return max(4, 1536 // min(b, 128))
 
 
+def _factor_kernel_version() -> str:
+    """Which panel-factor kernel to trace: ``v1`` or ``v2`` (the round-4
+    latency-tuned rewrite) via ``MATINV_FACTOR_KERNEL``. Read at trace time
+    so a single process can A/B the two (the jit cache keys on the
+    resulting jaxpr)."""
+    import os
+    return os.environ.get("MATINV_FACTOR_KERNEL", "v1")
+
+
 def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
                   m: int, b: int, pivot: bool, interpret: bool):
     """Run the pivot-search kernel; returns pivrows (b,) int32.
@@ -310,8 +479,18 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
     the mask itself by scattering the returned pivot rows.
     """
     sub, kmask = _factor_geometry(m, b)
-    kernel = functools.partial(_panel_factor_kernel, m=m, b=b, sub=sub,
+    v2 = _factor_kernel_version() == "v2"
+    kern = _panel_factor_kernel2 if v2 else _panel_factor_kernel
+    kernel = functools.partial(kern, m=m, b=b, sub=sub,
                                kmask=kmask, pivot=pivot, emit_ct=False)
+    if v2:
+        scratch = [pltpu.VMEM((b, m), strip.dtype),
+                   pltpu.VMEM((2 * sub, m), strip.dtype),
+                   pltpu.VMEM((sub, m), strip.dtype)]
+    else:
+        scratch = [pltpu.VMEM((b, m), strip.dtype),
+                   pltpu.VMEM((sub, m), strip.dtype),
+                   pltpu.VMEM((sub, m), strip.dtype)]
     kb_arr = jnp.reshape(kb.astype(jnp.int32), (1, 1))
     used_tile = jnp.broadcast_to(
         jnp.swapaxes(used.astype(strip.dtype), -1, -2), (8, m))
@@ -324,9 +503,7 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((b, m), strip.dtype),
-                        pltpu.VMEM((sub, m), strip.dtype),
-                        pltpu.VMEM((sub, m), strip.dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(kb_arr, jnp.swapaxes(strip, -1, -2), used_tile)
     return pivrows[:, 0]
@@ -343,8 +520,16 @@ def _panel_factor(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
     (X + C @ X[pivrows]) instead of search + (b, b) inverse + rank-2b GEMM.
     """
     sub, kmask = _factor_geometry(m, b)
-    kernel = functools.partial(_panel_factor_kernel, m=m, b=b, sub=sub,
+    v2 = _factor_kernel_version() == "v2"
+    kern = _panel_factor_kernel2 if v2 else _panel_factor_kernel
+    kernel = functools.partial(kern, m=m, b=b, sub=sub,
                                kmask=kmask, pivot=pivot, emit_ct=True)
+    if v2:
+        scratch = [pltpu.VMEM((2 * sub, m), strip.dtype),
+                   pltpu.VMEM((sub, m), strip.dtype)]
+    else:
+        scratch = [pltpu.VMEM((sub, m), strip.dtype),
+                   pltpu.VMEM((sub, m), strip.dtype)]
     kb_arr = jnp.reshape(kb.astype(jnp.int32), (1, 1))
     used_tile = jnp.broadcast_to(
         jnp.swapaxes(used.astype(strip.dtype), -1, -2), (8, m))
@@ -362,10 +547,9 @@ def _panel_factor(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
                    jax.ShapeDtypeStruct((b, m), strip.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         # No (b, m) working scratch: the ct output ref doubles as the
-        # working buffer (see _panel_factor_kernel), so the kernel holds
-        # two (b, m) buffers -- the same footprint as the search kernel.
-        scratch_shapes=[pltpu.VMEM((sub, m), strip.dtype),
-                        pltpu.VMEM((sub, m), strip.dtype)],
+        # working buffer (see the kernels), so the kernel holds two (b, m)
+        # buffers plus the merged sub-panel scratch.
+        scratch_shapes=scratch,
         interpret=interpret,
     )(kb_arr, jnp.swapaxes(strip, -1, -2), used_tile)
     return pivrows[:, 0], ct, ok[0, 0] > 0

@@ -224,3 +224,43 @@ def test_block_param_boundaries():
                                                 False)
     assert not use_pallas
     assert _select_block_params(4096, 128, jnp.float64, False)[1] is False
+
+
+def test_factor_kernel_v2_bit_parity():
+    """The round-4 latency-tuned v2 factor kernel must be BIT-identical to
+    v1 on both modes (search + fused ct) and both pivot settings: same
+    packed-key pivot sequence, same composite transform, same ok flag
+    (the rewrite reorders issue structure, not arithmetic)."""
+    import os
+    from unittest import mock
+    from gpu_matrix_inversion_tpu.ops import blocked as B
+
+    rng = np.random.default_rng(17)
+    for (m, b) in [(256, 32), (512, 128)]:
+        strip = jnp.asarray(rng.standard_normal((m, b)).astype(np.float32))
+        used = jnp.zeros((m, 1), jnp.float32)
+        kb = jnp.int32(0)
+        for pivot in (True, False):
+            outs = {}
+            for ver in ("v1", "v2"):
+                with mock.patch.dict(os.environ,
+                                     {"MATINV_FACTOR_KERNEL": ver}):
+                    pr, ct, ok = B._panel_factor(strip, kb, used, m=m, b=b,
+                                                 pivot=pivot, interpret=True)
+                    pr2 = B._pivot_search(strip, kb, used, m=m, b=b,
+                                          pivot=pivot, interpret=True)
+                outs[ver] = (np.asarray(pr), np.asarray(ct), bool(ok),
+                             np.asarray(pr2))
+            for i in range(4):
+                if i == 2:
+                    assert outs["v1"][i] == outs["v2"][i]
+                else:
+                    np.testing.assert_array_equal(outs["v1"][i],
+                                                  outs["v2"][i])
+        # Singular strip must flag ok=False on both kernels.
+        ones = jnp.asarray(np.ones((m, b), np.float32))
+        for ver in ("v1", "v2"):
+            with mock.patch.dict(os.environ, {"MATINV_FACTOR_KERNEL": ver}):
+                _, _, ok = B._panel_factor(ones, kb, used, m=m, b=b,
+                                           pivot=True, interpret=True)
+            assert not bool(ok), ver
