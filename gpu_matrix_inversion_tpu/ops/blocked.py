@@ -352,11 +352,13 @@ def _panel_factor_kernel2(kb_ref, stripT_ref, used_ref, *rest, m: int, b: int,
                           axis=0, keepdims=True)            # (1, m)
             return used, col, okv
 
-        import os
-        if os.environ.get("MATINV_V2_UNROLL"):
-            # Static unroll: ~sub x the code, but no per-iteration Mosaic
-            # loop overhead and cross-step scheduling freedom (A/B'd on
-            # hardware via the env var; see DESIGN.md 6e).
+        if _v2_unroll(m, b):
+            # Static unroll: measured 2.05x on the whole kernel at m=4096
+            # (80.2 vs 164.1 us/launch) -- the fori body forces VMEM
+            # round trips of the (2*sub, m) working set every step, while
+            # the unrolled code keeps it in registers across steps. The
+            # cost is VMEM *stack* for the live unrolled temporaries
+            # (~11.5 MB at m=8192 -- the gate below keeps it compiling).
             carry = (used, col, okv)
             for r2s in range(sub):
                 carry = step(jnp.int32(r2s), carry)
@@ -367,10 +369,14 @@ def _panel_factor_kernel2(kb_ref, stripT_ref, used_ref, *rest, m: int, b: int,
 
         # Pivot indices for this sub-panel, off the per-step chain: the
         # accumulated one-hots are exact in any dtype; the index arithmetic
-        # runs in int32 (bf16 cannot represent lane ids past 256).
+        # runs in int32 (bf16 cannot represent lane ids past 256). The
+        # explicit dtype pins the accumulator: under x64 mode jnp.sum
+        # promotes int32 to int64, which Mosaic cannot lower (the r4 oracle
+        # gate caught exactly this when a caller skipped the
+        # enable_x64(False) wrapper the driver uses).
         ponehot = (psel[:, :] != 0).astype(jnp.int32)       # (sub, m)
         pivrows_ref[r0:r0 + sub, :] = jnp.sum(
-            ponehot * lane_m, axis=1, keepdims=True)
+            ponehot * lane_m, axis=1, keepdims=True, dtype=jnp.int32)
 
         prec = (lax.Precision.DEFAULT if dt == jnp.bfloat16
                 else lax.Precision.HIGHEST)  # see v1's precision note
@@ -444,29 +450,81 @@ def _emit_fused(m: int, b: int, use_pallas: bool, search_bf16: bool) -> bool:
     return use_pallas and not search_bf16 and b * m <= 128 * 8192
 
 
-def _default_group_size(b: int) -> int:
+def _default_group_size(b: int, num_panels: int | None = None) -> int:
     """Panels per composite group when the caller does not choose.
 
-    The sweet spot is a composite WIDTH of gw = group*b ~ 1536 columns,
-    independent of b (round 3, v5e, single-call minima: 16384^2 b=64 has
-    g=16/24/32 at 792/741/851 ms; 4096^2 b=128 has g=8/12/16/32 at
-    ~16.1/15.0/15.4/20.4 ms amortized). Wider groups push work from the
-    windowed outer GEMM into the internal per-panel updates (rank-b on a
-    growing (m, gw+b) window); narrower ones launch more outer GEMMs on
-    short windows. Derived from the GATED b, not the user's block_size:
-    at e.g. n=16384 the VMEM gates shrink b 128 -> 64 and the group must
-    widen to keep gw on the sweet spot.
+    Without ``num_panels`` (callers that size groups before the panel count
+    is known: lu, sharded, phases) the r3 rule stands: composite width
+    gw = group*b ~ 1536 columns independent of b. With it, the round-4
+    rule from the v2-kernel re-sweep (v5e, amortized): the sweet spot is
+    size-dependent — 4096^2 gw=1024 (12.42 ms vs 13.05 at 1536 / 13.84 at
+    2048 / 15.5 at 512), 8192^2 gw=2048 (101.0 vs 105.2/105.7), 16384^2
+    b=64 keeps gw=1536 (741 ms vs 792 at 1024 / 851 at 2048) — and at
+    m <= 8192 a group that DIVIDES the panel count is preferred: the
+    unrolled tail group after the ``fori_loop`` otherwise costs ~1.2 ms of
+    whole-(m, 2m)-buffer layout-conversion copies at the loop boundary
+    (DESIGN.md 6e; proportionally irrelevant by 16384). Wider groups push
+    work from the windowed outer GEMM into the internal per-panel updates
+    (rank-b on a growing (m, gw+b) window); narrower ones launch more
+    outer GEMMs on short windows. Derived from the GATED b, not the
+    user's block_size: at e.g. n=16384 the VMEM gates shrink b 128 -> 64
+    and the group must widen to keep gw on the sweet spot.
     """
-    return max(4, 1536 // min(b, 128))
+    bb = min(b, 128)
+    if num_panels is None:
+        return max(4, 1536 // bb)
+    m = num_panels * b
+    target_gw = 1024 if m <= 4096 else (2048 if m <= 8192 else 1536)
+    target = max(4, target_gw // bb)
+    if num_panels <= target or m > 8192:
+        return target
+    divisors = [g for g in range(max(4, target // 2),
+                                 min(num_panels, 2 * target) + 1)
+                if num_panels % g == 0]
+    return min(divisors, key=lambda g: abs(g - target), default=target)
 
 
-def _factor_kernel_version() -> str:
+def _factor_kernel_version(m: int = 0, b: int = 0, dtype=None) -> str:
     """Which panel-factor kernel to trace: ``v1`` or ``v2`` (the round-4
-    latency-tuned rewrite) via ``MATINV_FACTOR_KERNEL``. Read at trace time
-    so a single process can A/B the two (the jit cache keys on the
-    resulting jaxpr)."""
+    latency-tuned rewrite), overridable via ``MATINV_FACTOR_KERNEL``. Read
+    at trace time so a single process can A/B the two (the jit cache keys
+    on the resulting jaxpr).
+
+    Default: v2 wherever its static unroll fits the VMEM stack (the r4
+    device trace shows v2+unroll launches at 110 us vs v1's 166 at m=4096;
+    whole 4096^2 device time 13.19 vs 14.98 ms); past the unroll gate v1's
+    fori body measured FASTER than v2's (m=8192: 310 vs 338 us/launch --
+    v2's merged (2*sub, m) working set round-trips more VMEM per fori step
+    than v1's split (sub, m) pair), so large m keeps v1. bf16 strips also
+    keep v1: Mosaic 0.9 cannot lower v2's merged packed-bf16 working set
+    ("Not implemented: Sublane broadcast", AOT compile-time, caught by the
+    r4 oracle gate test_hw_kernel_bf16_pivots_valid) -- and the bf16
+    search tier only engages past n=8192 (_select_block_params), where
+    m > 4096 keeps v1 regardless, so the gate costs nothing."""
     import os
-    return os.environ.get("MATINV_FACTOR_KERNEL", "v1")
+    env = os.environ.get("MATINV_FACTOR_KERNEL")
+    if env:
+        return env
+    if dtype is not None and jnp.dtype(dtype) == jnp.bfloat16:
+        return "v1"
+    return "v2" if _v2_unroll(m, b) else "v1"
+
+
+def _v2_unroll(m: int, b: int) -> bool:
+    """Whether the v2 kernel statically unrolls its step loop.
+
+    The unrolled code's live temporaries sit on the Mosaic VMEM stack:
+    measured ~11.5 MB of stack at m=8192, which together with the kernel's
+    (b, m) buffers blows the 16 MB scoped-VMEM limit (compile-time OOM,
+    AOT -- no wedge) at m = 8192 and at m = 6144 with b = 128. m <= 4096
+    fits at any gated b (5.75 MB stack + <= 5.6 MB buffers) and is where
+    the 4096^2 headline lives; larger m keeps the fori body.
+    ``MATINV_V2_UNROLL`` (0/1) overrides for experiments."""
+    import os
+    env = os.environ.get("MATINV_V2_UNROLL")
+    if env is not None and env != "":
+        return env != "0"
+    return m <= 4096
 
 
 def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
@@ -479,7 +537,7 @@ def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
     the mask itself by scattering the returned pivot rows.
     """
     sub, kmask = _factor_geometry(m, b)
-    v2 = _factor_kernel_version() == "v2"
+    v2 = _factor_kernel_version(m, b, strip.dtype) == "v2"
     kern = _panel_factor_kernel2 if v2 else _panel_factor_kernel
     kernel = functools.partial(kern, m=m, b=b, sub=sub,
                                kmask=kmask, pivot=pivot, emit_ct=False)
@@ -520,7 +578,7 @@ def _panel_factor(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
     (X + C @ X[pivrows]) instead of search + (b, b) inverse + rank-2b GEMM.
     """
     sub, kmask = _factor_geometry(m, b)
-    v2 = _factor_kernel_version() == "v2"
+    v2 = _factor_kernel_version(m, b, strip.dtype) == "v2"
     kern = _panel_factor_kernel2 if v2 else _panel_factor_kernel
     kernel = functools.partial(kern, m=m, b=b, sub=sub,
                                kmask=kmask, pivot=pivot, emit_ct=True)
@@ -940,10 +998,10 @@ def effective_gemm_flops(n: int, *, block_size: int = DEFAULT_BLOCK_SIZE,
     """
     b, _, search_bf16 = _select_block_params(n, block_size, dtype,
                                              search_bf16)
-    if group_size is None:
-        group_size = _default_group_size(b)
     m = max(_round_up(n, b), b)
     num_panels = m // b
+    if group_size is None:
+        group_size = _default_group_size(b, num_panels)
     group = max(1, min(group_size, num_panels))
     num_groups = num_panels // group
     tail = num_panels - num_groups * group
@@ -1022,7 +1080,25 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
     b, use_pallas, search_bf16 = _select_block_params(
         n, block_size, a.dtype, search_bf16)
     if group_size is None:
-        group_size = _default_group_size(b)
+        group_size = _default_group_size(b, max(_round_up(n, b), b) // b)
+    if a.ndim > 2 and use_pallas and not search_bf16:
+        # Opt-in (MATINV_LOCKSTEP=1) lockstep route: K matrices advance
+        # through one panel-factor chain per panel instead of K chains
+        # (ops/lockstep.py). Measured slower-or-equal than the default
+        # per-matrix lax.map on the v5e -- kept as the recorded experiment
+        # for VERDICT r3 #5; _lockstep_k returns 0 unless opted in.
+        from gpu_matrix_inversion_tpu.ops.lockstep import (
+            _lockstep_inverse_jit, _lockstep_k)
+        flat = a.reshape((-1,) + a.shape[-2:])
+        k = _lockstep_k(flat.shape[0], n, b, a.dtype)
+        if k:
+            interpret = not tpu_available()
+            with jax.enable_x64(False):
+                inv, ok = _lockstep_inverse_jit(
+                    flat, pivot=pivot, b=b, k=k, interpret=interpret,
+                    precision=precision, group_size=group_size,
+                    refine=refine)
+            return inv.reshape(a.shape), ok.reshape(a.shape[:-2])
     if use_pallas:
         interpret = not tpu_available()
         # Trace/compile in 32-bit land: Mosaic cannot legalize the i64 index

@@ -80,3 +80,38 @@ def test_blocked_batched_map_matches_vmap():
     assert bool(np.all(np.asarray(ok_map))) and bool(
         np.all(np.asarray(ok_vmap)))
     np.testing.assert_array_equal(np.asarray(inv_map), np.asarray(inv_vmap))
+
+
+def test_factor_kernel_version_gate():
+    """v2 (the r4 latency-tuned kernel) is the default exactly where its
+    static unroll fits the Mosaic VMEM stack AND the strip is not bf16
+    (Mosaic cannot lower v2's merged packed-bf16 working set -- the r4
+    oracle run caught the unwired dtype gate at _pivot_search)."""
+    import jax.numpy as jnp
+    from gpu_matrix_inversion_tpu.ops.blocked import (_factor_kernel_version,
+                                                      _v2_unroll)
+
+    assert _factor_kernel_version(4096, 128, jnp.float32) == "v2"
+    assert _factor_kernel_version(256, 128, jnp.float32) == "v2"
+    assert _factor_kernel_version(8192, 64, jnp.float32) == "v1"
+    # bf16 strips keep v1 at every size, including ones the unroll fits.
+    assert _factor_kernel_version(256, 128, jnp.bfloat16) == "v1"
+    assert _factor_kernel_version(16384, 64, jnp.bfloat16) == "v1"
+    assert _v2_unroll(4096, 128) and not _v2_unroll(8192, 64)
+
+
+def test_default_group_size_divides_panels():
+    """Round-4 rule: at m <= 8192 the default group divides the panel
+    count (a tail group costs ~1.2 ms of layout-conversion copies at the
+    fori_loop boundary -- DESIGN.md 6e); past 8192 the gw~1536 rule
+    stands."""
+    from gpu_matrix_inversion_tpu.ops.blocked import _default_group_size
+
+    assert _default_group_size(128, 32) == 8      # 4096^2: gw=1024, no tail
+    assert _default_group_size(128, 64) == 16     # 8192^2: gw=2048, no tail
+    assert _default_group_size(64, 256) == 24     # 16384^2 b=64: gw=1536
+    assert _default_group_size(128, 16) == 8      # 2048^2: divides
+    assert 32 % _default_group_size(128, 32) == 0
+    # Legacy callers without a panel count keep the r3 rule.
+    assert _default_group_size(128) == 12
+    assert _default_group_size(64) == 24
