@@ -70,12 +70,26 @@ def _bench(fn, *args, reps: int = 3) -> float:
     return min(times)
 
 
-def _amortized(make_fn, a, k1: int = 1, k2: int = 5, reps: int = 2) -> tuple:
+def _amortized(make_fn, a, k1: int = 1, k2: int = 5, reps: int = 3) -> tuple:
     """Per-op seconds net of the tunnel dispatch floor, plus the
     single-call wall-clock: run k ops inside one jitted scan and
-    difference the k1 and k2 timings."""
-    t1 = _bench(make_fn(k1), a, reps=reps)
-    t2 = _bench(make_fn(k2), a, reps=reps)
+    difference the k1 and k2 timings.
+
+    The k1/k2 reps are INTERLEAVED (k1, k2, k1, k2, ...): the chip's
+    clock state drifts by ~10% across minutes (measured r4 — the same
+    4096^2 program reads 12.4-16.0 ms in different windows), so timing
+    all k1 reps then all k2 reps bakes the drift into the slope; paired
+    reps sample both programs in the same window and min() picks the
+    fastest consistent pair."""
+    f1, f2 = make_fn(k1), make_fn(k2)
+    _sync(f1(a)); _sync(f2(a))  # warm both (compile) before any timing
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter(); _sync(f1(a))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); _sync(f2(a))
+        t2s.append(time.perf_counter() - t0)
+    t1, t2 = min(t1s), min(t2s)
     # Clamp: tunnel jitter can make t2 < t1 for ops far below the ~26 ms
     # dispatch floor; never report a negative/zero per-op time.
     return max((t2 - t1) / (k2 - k1), 1e-6), t1
