@@ -527,6 +527,20 @@ def _v2_unroll(m: int, b: int) -> bool:
     return m <= 4096
 
 
+def _unroll_groups(num_groups: int) -> bool:
+    """Whether the blocked driver statically unrolls its group loop.
+
+    Default: unroll up to 16 groups (every default geometry -- 4096^2 has
+    4, 8192^2 has 4, 16384^2 has 10+tail; jit/compile cost grows with the
+    unroll, so pathological group counts keep the fori body).
+    ``MATINV_UNROLL_GROUPS`` (0/1) overrides for A/B experiments."""
+    import os
+    env = os.environ.get("MATINV_UNROLL_GROUPS")
+    if env is not None and env != "":
+        return env != "0"
+    return num_groups <= 16
+
+
 def _pivot_search(strip: jax.Array, kb: jax.Array, used: jax.Array, *,
                   m: int, b: int, pivot: bool, interpret: bool):
     """Run the pivot-search kernel; returns pivrows (b,) int32.
@@ -778,7 +792,11 @@ def _group_factor(og, kb0, used, *, gsize: int, gw: int, m: int, b: int,
         # the group loop is unrolled. One rank-b GEMM (ct^T contracted
         # on its row axis) eliminates AND deposits the scaled rows.
         og_win = og[:, ib:gw + ib + b]                    # (m, gw+b)
-        block_rows = jnp.take(og_win, pivrows, axis=0)    # (b, gw+b)
+        # Same gather-then-update hazard as run_group's outer window (see
+        # the barrier note there): materialize the pivot rows first so the
+        # windowed update can write og in place.
+        block_rows = lax.optimization_barrier(
+            jnp.take(og_win, pivrows, axis=0))            # (b, gw+b)
         og = og.at[:, ib:gw + ib + b].set(
             og_win + lax.dot_general(
                 ct, block_rows, (((0,), (0,)), ((), ())),
@@ -888,7 +906,7 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
         use_pallas=use_pallas, interpret=interpret, precision=precision,
         search_bf16=search_bf16, emit=emit)
 
-    def run_group(kb0, carry, gsize, gw):
+    def run_group(kb0, carry, gsize, gw, static_call=True):
         """Factor ``gsize`` consecutive panels starting at column ``kb0``
         and apply their composite transform to the live window."""
         aug, used, pos, ok = carry
@@ -908,7 +926,19 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
         etot = (rows == pivtot[None, :]).astype(dtype)       # (m, gw)
         c = og[:, gw:] - etot
         win = lax.dynamic_slice(aug, (_i0, kb0 + gw), (m, m - gw))
-        win = win + jnp.matmul(c, jnp.take(win, pivtot, axis=0),
+        # Materialize the gathered pivot rows BEFORE the update GEMM: the
+        # gather reads rows of the same region the fused GEMM+add+update
+        # overwrites, and without the barrier XLA breaks that hazard by
+        # copying the whole aug buffer every group (4 GiB accessed,
+        # 6.25 ms x num_groups at 16384^2 -- r4 device trace). With the
+        # rows in their own buffer the update is elementwise in the
+        # region and buffer assignment can do it in place. The pairing is
+        # load-bearing: barrier under a fori body measured a LOSS (757.6
+        # vs 741.5 ms at 16384^2), so dynamic-kb0 calls skip it.
+        blockw = jnp.take(win, pivtot, axis=0)
+        if static_call:
+            blockw = lax.optimization_barrier(blockw)
+        win = win + jnp.matmul(c, blockw,
                                preferred_element_type=dtype,
                                precision=precision)
         aug = lax.dynamic_update_slice(aug, win, (_i0, kb0 + gw))
@@ -919,13 +949,24 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
 
     def group_step(kk, carry):
         kb0 = kk.astype(jnp.int32) * gw
-        return run_group(kb0, carry, group, gw)
+        return run_group(kb0, carry, group, gw, static_call=False)
 
     used0 = jnp.zeros((m, 1), jnp.float32)
     pos0 = lax.broadcasted_iota(jnp.int32, (m,), 0)
-    carry = lax.fori_loop(
-        0, num_groups, group_step,
-        (aug, used0, pos0, jnp.bool_(True)))
+    carry = (aug, used0, pos0, jnp.bool_(True))
+    if _unroll_groups(num_groups):
+        # Static unroll of the group loop. The r4 device trace of the
+        # 16384^2 path shows XLA's while-loop buffer assignment copying
+        # the FULL (m, 2m) aug carry once per iteration (4 GiB accessed,
+        # 6.25 ms x10 = 62.5 ms/call) plus a ~1 GiB win copy -- straight-
+        # line code lets the updates alias in place and also removes the
+        # fori_loop <-> tail layout boundary of DESIGN.md 6e. Production
+        # sizes have <= 11 groups, so code size stays bounded (the gate
+        # keeps huge group counts on the fori body).
+        for kk in range(num_groups):
+            carry = run_group(np.int32(kk * gw), carry, group, gw)
+    else:
+        carry = lax.fori_loop(0, num_groups, group_step, carry)
     if tail:
         carry = run_group(jnp.int32(num_groups * group * b), carry,
                           tail, tail * b)

@@ -263,8 +263,10 @@ def _group_factor_lockstep(og, kb0, used, *, k: int, gsize: int, gw: int,
         og = og.at[:, :, gw + ib:gw + ib + b].set(psel)
 
         og_win = og[:, :, ib:gw + ib + b]                   # (k, m, gw+b)
-        block_rows = jnp.take_along_axis(
-            og_win, pivrows[:, :, None].astype(jnp.int32), axis=1)
+        # Barrier: see ops/blocked.py _group_factor (in-place update
+        # hazard on the gathered pivot rows).
+        block_rows = lax.optimization_barrier(jnp.take_along_axis(
+            og_win, pivrows[:, :, None].astype(jnp.int32), axis=1))
         og = og.at[:, :, ib:gw + ib + b].set(
             og_win + lax.dot_general(
                 ct, block_rows, (((1,), (1,)), ((0,), (0,))),
@@ -313,7 +315,9 @@ def _blocked_gj_lockstep(a, *, pivot: bool, b: int, k: int,
         etot = (rows == pivtot[:, None, :]).astype(dtype)    # (k, m, gw)
         c = og[:, :, gw:] - etot
         win = lax.dynamic_slice(aug, (_i0, _i0, kb0 + gw), (k, m, m - gw))
-        blockw = jnp.take_along_axis(win, pivtot[:, :, None], axis=1)
+        # Barrier: see ops/blocked.py run_group (in-place update hazard).
+        blockw = lax.optimization_barrier(
+            jnp.take_along_axis(win, pivtot[:, :, None], axis=1))
         win = win + lax.dot_general(c, blockw, (((2,), (1,)), ((0,), (0,))),
                                     preferred_element_type=dtype,
                                     precision=precision)

@@ -487,7 +487,12 @@ def _lu_factor_grouped_2d(a, *, b: int, group: int, pivot: bool,
         rest = m - kb0 - gw
         if rest:
             win = lax.slice(lu, (0, kb0 + gw), (m, m))        # (m, rest)
-            arows_w = jnp.take(win, pivloc, axis=0)           # (gw, rest)
+            # Materialize the gathered pivot rows before the trailing
+            # update GEMM (same in-place hazard fix as ops/blocked.py's
+            # run_group: without it XLA copies the full lu buffer per
+            # group to break the gather-while-overwriting hazard).
+            arows_w = lax.optimization_barrier(
+                jnp.take(win, pivloc, axis=0))                # (gw, rest)
             lgg_rows = jnp.take(strip, pivloc, axis=0)        # (gw, gw)
             tri_gw = (lax.broadcasted_iota(jnp.int32, (gw, gw), 0)
                       > lax.broadcasted_iota(jnp.int32, (gw, gw), 1))

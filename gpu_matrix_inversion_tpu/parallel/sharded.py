@@ -50,7 +50,8 @@ from gpu_matrix_inversion_tpu.ops.blocked import (_PRECISIONS,
                                                   _default_group_size,
                                                   _emit_fused,
                                                   _group_factor, _round_up,
-                                                  _select_block_params)
+                                                  _select_block_params,
+                                                  _unroll_groups)
 from gpu_matrix_inversion_tpu.ops.fused import _is_tpu_device
 from gpu_matrix_inversion_tpu.parallel.mesh import make_device_mesh
 
@@ -103,7 +104,9 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
         buf = jnp.zeros((m, width), chunk.dtype)
         return lax.dynamic_update_slice(buf, chunk, (_i0, start))
 
-    def run_group(kb0, carry, gsize, gw):
+    unroll = _unroll_groups(ngroups)
+
+    def run_group(kb0, carry, gsize, gw, static_call=True):
         aug_loc, used, pos, ok = carry
 
         # 1. Group gather: global columns [kb0, kb0+gw) live on one or two
@@ -141,7 +144,16 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
         hi = np.int32(m) + kb0
 
         def do_update(aug_loc):
+            # Barrier: see ops/blocked.py run_group -- materializing the
+            # gathered pivot rows lets XLA update aug_loc in place instead
+            # of copying the shard to break the gather/overwrite hazard.
+            # ONLY when this group body is straight-line code: under a
+            # fori_loop the barrier measured a ~2% LOSS (DESIGN.md 6e.3
+            # attribution -- in-place needs static offsets + barrier
+            # together), so dynamic-kb0 calls skip it.
             xp = jnp.take(aug_loc, pivtot, axis=0)            # (gw, w)
+            if static_call:
+                xp = lax.optimization_barrier(xp)
             return aug_loc + lax.dot_general(
                 c, xp, (((1,), (0,)), ((), ())),
                 preferred_element_type=dtype, precision=precision)
@@ -168,12 +180,19 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
 
     def group_step(kk, carry):
         kb0 = kk.astype(jnp.int32) * (group * b)
-        return run_group(kb0, carry, group, group * b)
+        return run_group(kb0, carry, group, group * b, static_call=False)
 
     used0 = jnp.zeros((m, 1), jnp.float32)
     pos0 = lax.broadcasted_iota(jnp.int32, (m,), 0)
-    carry = lax.fori_loop(0, ngroups, group_step,
-                          (aug_loc, used0, pos0, jnp.bool_(True)))
+    carry = (aug_loc, used0, pos0, jnp.bool_(True))
+    if unroll:
+        # Static unroll + barrier = in-place shard updates (the same
+        # pairing as ops/blocked._blocked_gj; see DESIGN.md 6e.3).
+        for kk in range(ngroups):
+            carry = run_group(np.int32(kk * group * b), carry,
+                              group, group * b)
+    else:
+        carry = lax.fori_loop(0, ngroups, group_step, carry)
     if tail:
         carry = run_group(jnp.int32(ngroups * group * b), carry,
                           tail, tail * b)
