@@ -422,12 +422,20 @@ def _factor_geometry(m: int, b: int):
     """(sub, kmask) for the panel kernels.
 
     sub=16 measured fastest at 4096 (sub=32: 17.3 ms, sub=16: 16.6 ms
-    amortized; the deferred dots' K=16 contraction is still fine on MXU).
+    amortized under v1 in r3; re-confirmed post-barrier/unroll under v2 in
+    r4: sub=16 10.9 ms vs sub=8 12.3 -- halving the per-step working set
+    costs more in doubled deferred-GEMM launches than it saves on the VPU;
+    sub=32 under the v2 unroll blows the 16 MB Mosaic VMEM stack at
+    m=4096, compile-time AOT).
     sub must DIVIDE b -- the static sub-panel unroll covers exactly
     (b // sub) * sub steps, so a non-divisor silently skips the last
     b % sub pivots (caught by review at b = 40, 56, 120, ...).
+    ``MATINV_FACTOR_SUB`` overrides the target for A/B experiments (the
+    divisor walk still applies).
     """
-    sub = min(16, b)
+    import os
+    env = os.environ.get("MATINV_FACTOR_SUB")
+    sub = min(int(env) if env else 16, b)
     while b % sub:
         sub -= 1
     kmask = 1
