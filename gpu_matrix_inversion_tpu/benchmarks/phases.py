@@ -13,6 +13,15 @@ module directly::
 
     python -m gpu_matrix_inversion_tpu.benchmarks.phases --n 2048
 
+Drift protocol (round 5, VERDICT r4 #5): the chip's clock state drifts
++-10-15% across multi-minute windows (DESIGN.md section 7), and every phase
+value here is a DIFFERENCE between variant timings -- timing variant A's
+reps then variant B's straddles windows and produced round 3's wrong
+"pivot 9.2 ms" attribution (the trace showed 5.3). All probes (every
+variant at k1 AND k2) are therefore compiled up front and timed
+round-robin INTERLEAVED, so each rep of each program samples the same
+window; min() then picks the fastest consistent sweep.
+
 Phase mapping onto the reference's slots:
 
 - ``make_augmented``: building the padded [A | slots] working matrix.
@@ -32,21 +41,32 @@ from unittest import mock
 import numpy as np
 
 
-def _amortized(probe, a, k1: int, k2: int, reps: int):
+def _amortized_multi(makers, a, k1: int, k2: int, reps: int):
+    """Amortized per-op seconds for SEVERAL probe families at once.
+
+    ``makers`` is a list of ``make_probe(k)`` callables. All ``2 * len``
+    programs are compiled/warmed first, then each rep times every program
+    back-to-back (interleaved), so the k1/k2 slope of every family -- and
+    the differences BETWEEN families the caller computes -- are sampled
+    inside one chip-state window (DESIGN.md section 7; the module-docstring
+    drift protocol)."""
     import jax  # noqa: F401
 
-    def timed(p, x):
-        float(np.asarray(p(x)))  # compile/warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(p(x)))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def run(p):
+        t0 = time.perf_counter()
+        float(np.asarray(p(a)))
+        return time.perf_counter() - t0
 
-    t1 = timed(probe(k1), a)
-    t2 = timed(probe(k2), a)
-    return max(t2 - t1, 0.0) / (k2 - k1)
+    pairs = [(mk(k1), mk(k2)) for mk in makers]
+    for p1, p2 in pairs:  # compile/warm everything before any timing
+        float(np.asarray(p1(a)))
+        float(np.asarray(p2(a)))
+    best = [[float("inf"), float("inf")] for _ in pairs]
+    for _ in range(reps):
+        for i, (p1, p2) in enumerate(pairs):
+            best[i][0] = min(best[i][0], run(p1))
+            best[i][1] = min(best[i][1], run(p2))
+    return [max(t2 - t1, 0.0) / (k2 - k1) for t1, t2 in best]
 
 
 def measure_phases(n: int = 2048, *, block_size: int = 128, pivot: bool = True,
@@ -116,12 +136,6 @@ def measure_phases(n: int = 2048, *, block_size: int = 128, pivot: bool = True,
                 probe(a)
         return probe
 
-    t_full = _amortized(lambda kk: make_probe(kk), a, 1, k, reps)
-    t_nosearch = _amortized(
-        lambda kk: make_probe(kk, stub_search=True), a, 1, k, reps)
-    t_noinv = _amortized(
-        lambda kk: make_probe(kk, stub_inv=True), a, 1, k, reps)
-
     @jax.jit
     def probe_aug(x):
         m = max(B._round_up(n, b), b)
@@ -142,7 +156,14 @@ def measure_phases(n: int = 2048, *, block_size: int = 128, pivot: bool = True,
             return jnp.sum(outs) + c
         return probe
 
-    t_aug = _amortized(make_aug_probe, a, 1, k, reps)
+    # One interleaved sweep over all four probe families: every phase below
+    # is a difference between two of these, so they must share a window.
+    t_full, t_nosearch, t_noinv, t_aug = _amortized_multi(
+        [lambda kk: make_probe(kk),
+         lambda kk: make_probe(kk, stub_search=True),
+         lambda kk: make_probe(kk, stub_inv=True),
+         make_aug_probe],
+        a, 1, k, reps)
 
     t_pivot = max(t_full - t_nosearch, 0.0)
     t_row = max(t_full - t_noinv, 0.0)

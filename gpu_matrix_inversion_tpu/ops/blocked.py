@@ -716,7 +716,7 @@ def _panel_pivots_logical(strip: jax.Array, used: jax.Array, kb, *, m: int,
 
 def _factor_panel(strip, kb, used, *, m: int, b: int, dtype, pivot: bool,
                   use_pallas: bool, interpret: bool, search_bf16: bool,
-                  emit: bool):
+                  emit: bool, search_f32: bool = False):
     """Panel pivot rows + composite transform (as C^T, (b, m)).
 
     The panel's whole effect on any working-set columns X is
@@ -743,6 +743,24 @@ def _factor_panel(strip, kb, used, *, m: int, b: int, dtype, pivot: bool,
                                     pivot=pivot, interpret=interpret)
         dblk = jnp.take(strip, pivrows, axis=0)
         dinv, ok_f = _invert_small(dblk, pivot=pivot, interpret=interpret)
+    elif search_f32 and pivot:
+        # FP64 TPU-shaped panel (round 5, VERDICT r4 #4): the pivot CHOICE
+        # is precision-robust (the same argument as the bf16 search tier,
+        # see module header) -- run the f32 Pallas search kernel on a cast
+        # of the strip, then assemble the panel content algebraically in
+        # full f64 from the (b, b) pivot block. This removes the b-step
+        # per-panel jnp chain over the (m, b) strip in emulated f64 --
+        # the slow half of the old fp64 path (~0.53 s at 4096^2 vs a
+        # ~0.14 s emulated-GEMM floor). A zero/singular pivot block still
+        # trips ok via the (b, b) inverse below, and the final isfinite
+        # gate is unchanged. The Pallas call traces in 32-bit land
+        # (Mosaic cannot legalize x64 index plumbing, CLAUDE.md hazard 4).
+        strip32 = strip.astype(jnp.float32)
+        with jax.enable_x64(False):
+            pivrows = _pivot_search(strip32, kb, used, m=m, b=b,
+                                    pivot=True, interpret=interpret)
+        dblk = jnp.take(strip, pivrows, axis=0)
+        dinv, ok_f = _gauss_jordan_aug(dblk, pivot=pivot)
     else:
         pivrows, _, ok_p = _panel_pivots_logical(strip, used, kb, m=m,
                                                  b=b, pivot=pivot)
@@ -760,7 +778,8 @@ def _factor_panel(strip, kb, used, *, m: int, b: int, dtype, pivot: bool,
 
 def _group_factor(og, kb0, used, *, gsize: int, gw: int, m: int, b: int,
                   dtype, pivot: bool, use_pallas: bool, interpret: bool,
-                  precision, search_bf16: bool, emit: bool):
+                  precision, search_bf16: bool, emit: bool,
+                  search_f32: bool = False):
     """Factor ``gsize`` consecutive panels on the [O | G] working set.
 
     ``og`` is (m, 2*gw): the group's outer strip O followed by the
@@ -782,7 +801,7 @@ def _group_factor(og, kb0, used, *, gsize: int, gw: int, m: int, b: int,
         pivrows, ct, ok_f = _factor_panel(
             strip, kb0 + ib, used, m=m, b=b, dtype=dtype, pivot=pivot,
             use_pallas=use_pallas, interpret=interpret,
-            search_bf16=search_bf16, emit=emit)
+            search_bf16=search_bf16, emit=emit, search_f32=search_f32)
         ok = jnp.logical_and(ok, ok_f)
         pivtot = lax.dynamic_update_slice(pivtot, pivrows, (np.int32(ib),))
 
@@ -909,17 +928,32 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     tail = num_panels - num_groups * group
 
     emit = _emit_fused(m, b, use_pallas, search_bf16)
+    # FP64 f32-search tier (VERDICT r4 #4): the jnp panel route borrows the
+    # f32 Pallas pivot-search kernel wherever its VMEM gates allow (same
+    # b*m reach as _emit_fused). Single-chip only -- the sharded per-device
+    # body keeps the logical search (CPU meshes cannot run interpret-mode
+    # Pallas inside shard_map).
+    search_f32 = (pivot and not use_pallas
+                  and jnp.dtype(dtype) == jnp.float64
+                  and b * m <= 128 * 8192 and b % 8 == 0)
     group_factor = functools.partial(
         _group_factor, m=m, b=b, dtype=dtype, pivot=pivot,
         use_pallas=use_pallas, interpret=interpret, precision=precision,
-        search_bf16=search_bf16, emit=emit)
+        search_bf16=search_bf16, emit=emit, search_f32=search_f32)
 
     def run_group(kb0, carry, gsize, gw, static_call=True):
         """Factor ``gsize`` consecutive panels starting at column ``kb0``
         and apply their composite transform to the live window."""
         aug, used, pos, ok = carry
+        # Static offsets wherever kb0 is a trace-time constant (the
+        # unrolled group loop): a dynamic_slice of the window materializes
+        # a {0,1}-layout buffer that XLA then relayout-copies for the GEMM
+        # (~0.17 ms per group at 4096^2, r5 device trace); a static
+        # lax.slice folds into the consumer.
+        k0 = int(kb0) if static_call else None
         og = jnp.concatenate(
-            [lax.dynamic_slice(aug, (_i0, kb0), (m, gw)),
+            [lax.slice(aug, (0, k0), (m, k0 + gw)) if static_call
+             else lax.dynamic_slice(aug, (_i0, kb0), (m, gw)),
              jnp.zeros((m, gw), dtype)], axis=1)  # [O | G]
         og, pivtot, used, ok_g = group_factor(og, kb0, used, gsize=gsize,
                                               gw=gw)
@@ -933,7 +967,8 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
         # transform the classic layout would scatter to columns m+pivtot).
         etot = (rows == pivtot[None, :]).astype(dtype)       # (m, gw)
         c = og[:, gw:] - etot
-        win = lax.dynamic_slice(aug, (_i0, kb0 + gw), (m, m - gw))
+        win = (lax.slice(aug, (0, k0 + gw), (m, k0 + m)) if static_call
+               else lax.dynamic_slice(aug, (_i0, kb0 + gw), (m, m - gw)))
         # Materialize the gathered pivot rows BEFORE the update GEMM: the
         # gather reads rows of the same region the fused GEMM+add+update
         # overwrites, and without the barrier XLA breaks that hazard by
@@ -976,7 +1011,10 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     else:
         carry = lax.fori_loop(0, num_groups, group_step, carry)
     if tail:
-        carry = run_group(jnp.int32(num_groups * group * b), carry,
+        # np.int32 (NOT jnp): under an outer lax.map/vmap trace a jnp
+        # constant is lifted to a tracer, breaking run_group's static-offset
+        # path (int(kb0) at trace time).
+        carry = run_group(np.int32(num_groups * group * b), carry,
                           tail, tail * b)
     aug, _, pos, ok = carry
     # Undo the logical permutation once. Slot t of the right half is the
@@ -1158,7 +1196,11 @@ def blocked_inverse(a: jax.Array, *, pivot: bool = True,
                                         precision=precision,
                                         search_bf16=search_bf16,
                                         group_size=group_size, refine=refine)
+    # interpret matters even on the jnp route now: the fp64 f32-search tier
+    # (see _blocked_gj) runs the Pallas pivot-search kernel, which needs
+    # interpret mode off-TPU.
     return _blocked_inverse_jit(a, pivot=pivot, block_size=b,
-                                use_pallas=False, interpret=False,
+                                use_pallas=False,
+                                interpret=not tpu_available(),
                                 precision=precision, search_bf16=False,
                                 group_size=group_size, refine=refine)

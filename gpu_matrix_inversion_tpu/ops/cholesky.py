@@ -38,16 +38,24 @@ def _chol_factor_blocked_2d(a: jax.Array, *, b: int) -> Tuple[jax.Array,
     dt = a.dtype
     hp = jax.lax.Precision.HIGHEST
     # LAPACK uplo='L': only the lower triangle of the input is meaningful.
-    # XLA's cholesky reads the whole diagonal block, so rebuild the matrix
-    # from its lower triangle (trailing updates then keep both halves
-    # consistent for free, since pan @ pan.T is symmetric).
+    # XLA's cholesky reads the whole (b, b) diagonal block, so each block
+    # is mirrored from its own lower half just before factoring (a (b, b)
+    # transpose, ~nothing) -- round 5 dropped the old FULL-matrix
+    # ``low + strict.T`` symmetrization, whose (m, m) transpose was a pure
+    # relayout pass on the device timeline. The upper triangle of ``w``
+    # therefore holds stale values throughout; that is safe because every
+    # read below is either a diagonal block (mirrored here), a
+    # strictly-lower panel, or a trailing strip whose stale wedge the
+    # chunked-syrk alignment already keeps out of reach (see below).
     r_i = lax.broadcasted_iota(jnp.int32, (m, m), 0)
     c_i = lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    low = jnp.where(r_i >= c_i, a, jnp.zeros_like(a))
-    strict = jnp.where(r_i > c_i, a, jnp.zeros_like(a))
-    w = low + strict.T
+    rb = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cb = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    w = jnp.where(r_i >= c_i, a, jnp.zeros_like(a))
     for k0 in range(0, m, b):
         dblk = lax.slice(w, (k0, k0), (k0 + b, k0 + b))
+        strict = jnp.where(rb > cb, dblk, jnp.zeros_like(dblk))
+        dblk = jnp.where(rb >= cb, dblk, jnp.zeros_like(dblk)) + strict.T
         lkk = lax.linalg.cholesky(dblk)
         w = lax.dynamic_update_slice(w, lkk, (k0, k0))
         rows = m - k0 - b
@@ -159,8 +167,10 @@ def _cholesky_inverse_jit(a: jax.Array):
     # linv is a slice/concat product consumed only by the GEMMs below.
     linv = lax.optimization_barrier(linv)
     # A^-1 = L^-T @ L^-1: the shared chunked product exploits L^-1's
-    # lower triangularity (~halves the MACs).
-    inv = _getri_product(jnp.swapaxes(linv, -1, -2), linv)
+    # lower triangularity (~halves the MACs); left_transposed contracts
+    # on linv's row axis directly, so the (n, n) transpose is never
+    # materialized (r5 trace: it was a pure relayout copy).
+    inv = _getri_product(linv, linv, left_transposed=True)
     ok = jnp.logical_and(jnp.logical_and(ok_f, ok_t),
                          jnp.all(jnp.isfinite(inv), axis=(-2, -1)))
     return inv, ok

@@ -627,7 +627,7 @@ def _tri_mm_chunks(s: int) -> int:
 
 
 def _trtri_blocked_2d(t: jax.Array, *, lower: bool, unit_diagonal: bool,
-                      b: int | None = None):
+                      b: int | None = None, canvas: bool = True):
     """Inverse of an (n, n) triangular matrix by block bisection.
 
     X = [[X11, 0], [-X22 T21 X11, X22]] (lower; mirrored for upper), applied
@@ -635,6 +635,9 @@ def _trtri_blocked_2d(t: jax.Array, *, lower: bool, unit_diagonal: bool,
     (s, s) GEMMs, chunked to exploit the sub-inverses' triangularity
     (``_tri_mm_chunks``). Pads n to b * 2^L with identity so every level is
     a uniform batch. All value-carrying GEMMs run at HIGHEST (CLAUDE.md #5).
+    ``canvas=True`` (default) assembles levels in place on an (m, m) canvas
+    with static-offset slices instead of stack/concat rebuilds -- measured
+    faster on the v5e (round 5; see the canvas branch comment).
     """
     n = t.shape[-1]
     dt = t.dtype
@@ -704,6 +707,35 @@ def _trtri_blocked_2d(t: jax.Array, *, lower: bool, unit_diagonal: bool,
                 rows_.append(mm(xt[..., i0:i0 + cw, i0:], y[..., i0:, :]))
         return jnp.concatenate(rows_, axis=-2)
 
+    if canvas:
+        # Canvas assembly (round 5, VERDICT r4 #1a): the batched formulation
+        # below pays a strided block gather (`off` stack) plus a FULL
+        # rebuild of x (three concats over the whole live area) at every
+        # level; the canvas writes each level's cross blocks in place with
+        # static-offset slices/updates and never moves the diagonal
+        # sub-inverses at all. Same GEMMs (per pair instead of batched --
+        # at the >=512 sizes this path gates on, unbatched MXU GEMMs lose
+        # nothing), ~1/4 the copies.
+        xc = jnp.zeros((m, m), dt)
+        for i in range(nb):
+            xc = lax.dynamic_update_slice(xc, x[i], (i * b, i * b))
+        for level in range(levels):
+            s = b << level
+            for p in range(m // (2 * s)):
+                r0 = p * 2 * s
+                x11 = lax.slice(xc, (r0, r0), (r0 + s, r0 + s))
+                x22 = lax.slice(xc, (r0 + s, r0 + s),
+                                (r0 + 2 * s, r0 + 2 * s))
+                if lower:
+                    off = lax.slice(t, (r0 + s, r0), (r0 + 2 * s, r0 + s))
+                    cross = -tri_mm_left(x22, tri_mm_right(off, x11))
+                    xc = lax.dynamic_update_slice(xc, cross, (r0 + s, r0))
+                else:
+                    off = lax.slice(t, (r0, r0 + s), (r0 + s, r0 + 2 * s))
+                    cross = -tri_mm_left(x11, tri_mm_right(off, x22))
+                    xc = lax.dynamic_update_slice(xc, cross, (r0, r0 + s))
+        return xc[:n, :n]
+
     for level in range(levels):
         s = b << level
         npairs = m // (2 * s)
@@ -725,9 +757,11 @@ def _trtri_blocked_2d(t: jax.Array, *, lower: bool, unit_diagonal: bool,
     return x[0][:n, :n]
 
 
-@functools.partial(jax.jit, static_argnames=("lower", "unit_diagonal", "b"))
+@functools.partial(jax.jit, static_argnames=("lower", "unit_diagonal", "b",
+                                             "canvas"))
 def invert_triangular(t: jax.Array, *, lower: bool = True,
-                      unit_diagonal: bool = False, b: int | None = None):
+                      unit_diagonal: bool = False, b: int | None = None,
+                      canvas: bool = True):
     """trtri: explicit inverse of a triangular matrix, batched over leading
     axes. Returns ``(inverse, ok)``; ``ok`` is False on a zero diagonal
     (or any non-finite output). The off-triangle of ``t`` is ignored.
@@ -747,7 +781,7 @@ def invert_triangular(t: jax.Array, *, lower: bool = True,
     eye = jnp.eye(n, dtype=t.dtype)
     tc = tc + eye * dvals[..., None, :]
     fn = functools.partial(_trtri_blocked_2d, lower=lower,
-                           unit_diagonal=unit_diagonal, b=b)
+                           unit_diagonal=unit_diagonal, b=b, canvas=canvas)
     batch = t.shape[:-2]
     out = jax.vmap(fn)(tc.reshape((-1, n, n))).reshape(t.shape)
     ok = jnp.logical_and(jnp.all(dvals != 0, axis=-1),
@@ -755,22 +789,37 @@ def invert_triangular(t: jax.Array, *, lower: bool = True,
     return out, ok
 
 
-def _getri_product(left: jax.Array, linv: jax.Array, *, chunk: int = 512):
+def _getri_product(left: jax.Array, linv: jax.Array, *, chunk: int = 512,
+                   left_transposed: bool = False):
     """``left @ linv`` exploiting ``linv``'s LOWER triangularity (batched
     over leading axes): column-chunk J only multiplies the rows of ``linv``
     at or below J's start (the rest are zero), cutting the dense n^3 MACs
     to ~n^3/2 at chunk << n. Static Python loop; one MXU GEMM per chunk
     (chunk=512 measured faster than 1024 at 4096: 2.6 vs 3.1 ms -- the
     extra triangularity win beats the narrower GEMMs). Used by getri
-    (left = U^-1) and potri (left = L^-T)."""
-    n = left.shape[-1]
+    (left = U^-1) and potri (left = L^-T).
+
+    ``left_transposed=True`` computes ``left.T @ linv`` by contracting on
+    ``left``'s ROW axis directly (the MXU takes either operand layout), so
+    potri never materializes the (n, n) transpose of ``L^-1`` -- a pure
+    relayout copy the r5 trace showed on the potri timeline."""
+    n = linv.shape[-1]
     hp = jax.lax.Precision.HIGHEST
+    nb = left.ndim - 2
+    bdims = tuple(range(nb))
     cols = []
     for j0 in range(0, n, chunk):
         c = min(chunk, n - j0)
-        cols.append(jnp.matmul(left[..., :, j0:], linv[..., j0:, j0:j0 + c],
-                               precision=hp,
-                               preferred_element_type=left.dtype))
+        if left_transposed:
+            cols.append(lax.dot_general(
+                left[..., j0:, :], linv[..., j0:, j0:j0 + c],
+                (((nb,), (nb,)), (bdims, bdims)),
+                precision=hp, preferred_element_type=left.dtype))
+        else:
+            cols.append(jnp.matmul(left[..., :, j0:],
+                                   linv[..., j0:, j0:j0 + c],
+                                   precision=hp,
+                                   preferred_element_type=left.dtype))
     return jnp.concatenate(cols, axis=-1)
 
 

@@ -108,21 +108,41 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
 
     def run_group(kb0, carry, gsize, gw, static_call=True):
         aug_loc, used, pos, ok = carry
+        # With a static kb0 (the unrolled group loop) a column range that
+        # lies entirely inside ONE shard is known at trace time; the gather
+        # and deposits below then use static offsets over just (m, gw)
+        # instead of full-width canvases/selects -- the round-5 fix for the
+        # sharded path's single-device glue (VERDICT r4 #3: ~12.6 ms of
+        # deposit canvases + selects per 4096^2 call at d=1).
+        kb0_static = int(kb0) if static_call else None
+
+        def inside_one_shard(g0):
+            return g0 is not None and (g0 % w) + gw <= w
 
         # 1. Group gather: global columns [kb0, kb0+gw) live on one or two
-        # shards (gw <= w by the group cap). Each owner takes ONE contiguous
-        # clipped (m, gw) dynamic_slice, pad-shifts it into window
-        # coordinates, masks to the lanes it owns, and a psum assembles the
-        # full (m, gw) outer strip on every device (robust to any
-        # alignment, so gw never needs to divide the shard width).
-        off = jnp.clip(kb0 - my * w, 0, jnp.int32(w - gw))
-        cand = lax.dynamic_slice(aug_loc, (_i0, off), (m, gw))
-        shift = my * w + off - kb0                       # in [-gw, gw]
-        contrib = shift_cols(cand, 3 * gw, gw + shift)[:, gw:2 * gw]
-        lane_g = kb0 + lax.broadcasted_iota(jnp.int32, (1, gw), 1)
-        own = jnp.logical_and(lane_g >= my * w,
-                              lane_g < my * w + w).astype(dtype)
-        o_strip = lax.psum(contrib * own, axis)
+        # shards (gw <= w by the group cap). Fast path (static kb0, group
+        # inside one shard): every device takes the SAME static (m, gw)
+        # slice of its local shard, scales by scalar ownership, and the
+        # psum keeps only the owner's values (non-owners contribute zeros
+        # from their own finite data). General path: each owner takes ONE
+        # contiguous clipped (m, gw) dynamic_slice, pad-shifts it into
+        # window coordinates, masks to the lanes it owns, and the psum
+        # assembles the full strip (robust to any alignment, so gw never
+        # needs to divide the shard width).
+        if inside_one_shard(kb0_static):
+            off_s = kb0_static % w
+            cand = lax.slice(aug_loc, (0, off_s), (m, off_s + gw))
+            own_dev = (my == kb0_static // w).astype(dtype)
+            o_strip = lax.psum(cand * own_dev, axis)
+        else:
+            off = jnp.clip(kb0 - my * w, 0, jnp.int32(w - gw))
+            cand = lax.dynamic_slice(aug_loc, (_i0, off), (m, gw))
+            shift = my * w + off - kb0                   # in [-gw, gw]
+            contrib = shift_cols(cand, 3 * gw, gw + shift)[:, gw:2 * gw]
+            lane_g = kb0 + lax.broadcasted_iota(jnp.int32, (1, gw), 1)
+            own = jnp.logical_and(lane_g >= my * w,
+                                  lane_g < my * w + w).astype(dtype)
+            o_strip = lax.psum(contrib * own, axis)
 
         # 2. Replicated factorization on [O | G] (identical inputs on every
         # device -> identical pivots/composites, no index exchange).
@@ -133,49 +153,76 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
         pos = lax.dynamic_update_slice(pos, pivtot, (kb0,))
 
         # 3. Local windowed composite update: C = G_final - E^T applied to
-        # my shard in one rank-gw GEMM, skipped when my columns miss the
-        # live window [kb0+gw, m+kb0) entirely (zero update there: finished
-        # left columns are zero at this group's pivot rows, future slots
-        # are still zero -- so the full-shard GEMM is exact, just wasted,
-        # on the at-most-two boundary shards).
+        # my shard's intersection with the live window [kb0+gw, m+kb0) in
+        # one rank-gw GEMM, skipped when my columns miss the window
+        # entirely. The update is confined to a (m, ww) slice with
+        # ww = min(w, m-gw): out-of-window columns receive provably zero
+        # updates (finished left columns are zero at this group's pivot
+        # rows, future slots are still zero), so a slice that clamps into
+        # the shard and overhangs the window is exact -- but updating the
+        # WHOLE shard, as this path did through round 4, schedules up to
+        # 2m/(m-gw) times the live MACs: at d=1/4096^2 that was 9.2 ms of
+        # update GEMMs vs the single-chip path's ~5 (r5 device trace),
+        # the real source of the 1.2x sharded-vs-blocked gap.
         etot = (rows == pivtot[None, :]).astype(dtype)        # (m, gw)
         c = og[:, gw:] - etot
         lo = kb0 + gw
         hi = np.int32(m) + kb0
+        ww = min(w, m - gw)
 
         def do_update(aug_loc):
+            off_u = jnp.clip(lo - my * w, 0, jnp.int32(w - ww))
+            win = lax.dynamic_slice(aug_loc, (_i0, off_u), (m, ww))
             # Barrier: see ops/blocked.py run_group -- materializing the
-            # gathered pivot rows lets XLA update aug_loc in place instead
-            # of copying the shard to break the gather/overwrite hazard.
-            # ONLY when this group body is straight-line code: under a
-            # fori_loop the barrier measured a ~2% LOSS (DESIGN.md 6e.3
-            # attribution -- in-place needs static offsets + barrier
-            # together), so dynamic-kb0 calls skip it.
-            xp = jnp.take(aug_loc, pivtot, axis=0)            # (gw, w)
+            # gathered pivot rows lets XLA update the region in place
+            # instead of copying the shard to break the gather/overwrite
+            # hazard. ONLY when this group body is straight-line code:
+            # under a fori_loop the barrier measured a ~2% LOSS
+            # (DESIGN.md 6e.3 attribution -- in-place needs static
+            # offsets + barrier together), so dynamic-kb0 calls skip it.
+            xp = jnp.take(win, pivtot, axis=0)                # (gw, ww)
             if static_call:
                 xp = lax.optimization_barrier(xp)
-            return aug_loc + lax.dot_general(
+            win = win + lax.dot_general(
                 c, xp, (((1,), (0,)), ((), ())),
                 preferred_element_type=dtype, precision=precision)
+            return lax.dynamic_update_slice(aug_loc, win, (_i0, off_u))
 
         has = jnp.logical_and(my * w < hi, my * w + w > lo)
         aug_loc = lax.cond(has, do_update, lambda x: x, aug_loc)
 
         # 4. Deposits: the group's own columns get the finished O, its slot
-        # columns [m+kb0, m+kb0+gw) get G -- each chunk pad-shifted into
-        # local coordinates (one dynamic_update_slice) and written under a
-        # lane-index ownership select (handles shard-straddling groups
-        # without dynamic-index column gathers; see shift_cols).
+        # columns [m+kb0, m+kb0+gw) get G. Fast path (static kb0, range
+        # inside one shard): read the (m, gw) region at its STATIC local
+        # offset, select chunk on the owner (scalar ownership), write it
+        # back with one static dynamic_update_slice -- (m, gw) traffic
+        # instead of the general path's full-width canvas + lane select,
+        # which at d=1/4096^2 was most of the ~12.6 ms sharded glue
+        # (VERDICT r4 #3). General path (dynamic kb0 or shard-straddling
+        # group): pad-shift into local coordinates and write under a
+        # lane-index ownership select (see shift_cols).
         jg = my * w + lane_w                                   # (1, w)
 
-        def deposit(aug_loc, chunk, g0):
+        def deposit(aug_loc, chunk, g0, g0_static):
+            if inside_one_shard(g0_static):
+                off_d = g0_static % w
+                cur = lax.slice(aug_loc, (0, off_d), (m, off_d + gw))
+                sel_dev = (my == g0_static // w)
+                new = jnp.where(sel_dev, chunk, cur)
+                # Same barrier rationale as do_update: materialize the
+                # select so buffer assignment can write the region in
+                # place (static offsets + barrier, DESIGN.md 6e.3).
+                new = lax.optimization_barrier(new)
+                return lax.dynamic_update_slice(aug_loc, new,
+                                                (_i0, np.int32(off_d)))
             sel = jnp.logical_and(jg >= g0, jg < g0 + gw)
             t = jnp.clip(g0 - my * w, -jnp.int32(gw), jnp.int32(w))
             shifted = shift_cols(chunk, w + 2 * gw, gw + t)[:, gw:gw + w]
             return jnp.where(sel, shifted, aug_loc)
 
-        aug_loc = deposit(aug_loc, og[:, :gw], kb0)
-        aug_loc = deposit(aug_loc, og[:, gw:], np.int32(m) + kb0)
+        aug_loc = deposit(aug_loc, og[:, :gw], kb0, kb0_static)
+        aug_loc = deposit(aug_loc, og[:, gw:], np.int32(m) + kb0,
+                          None if kb0_static is None else m + kb0_static)
         return aug_loc, used, pos, ok
 
     def group_step(kk, carry):
@@ -194,7 +241,7 @@ def _local_gj(aug_loc: jax.Array, *, m: int, b: int, w: int, group: int,
     else:
         carry = lax.fori_loop(0, ngroups, group_step, carry)
     if tail:
-        carry = run_group(jnp.int32(ngroups * group * b), carry,
+        carry = run_group(np.int32(ngroups * group * b), carry,
                           tail, tail * b)
     aug_loc, _, pos, ok = carry
     return aug_loc, pos, ok.reshape(1)

@@ -174,6 +174,33 @@ def test_sharded_production_geometry():
     assert relative_residual(a, np.asarray(inv)) < 1e-5
 
 
+def test_sharded_batched_dp_tp_panel_width():
+    """VERDICT r4 #6: the 2D dp x tp mesh at REAL panel width -- b=128
+    shard arithmetic under a dp axis never executed above b=16 before.
+    n=768 on a (2, 4) mesh: m=1024, w=2m/tp=512, and group_size=3 makes
+    gw=384 straddle the shard boundaries (kb0=384 spans 384:768 across
+    512), so the two-owner strip gather, the straddling deposits, AND the
+    batch dimension all run together at production panel width."""
+    from gpu_matrix_inversion_tpu.parallel.sharded import _sharded_params
+
+    n, tp = 768, 4
+    b, m, group, _, _ = _sharded_params(n, 128, tp, jnp.float32, False, 3)
+    assert b == 128 and m == 1024 and group == 3
+    w = 2 * m // tp
+    gw = group * b
+    assert (384 % w) + gw > w  # group 1 really straddles a shard boundary
+    mesh = make_device_mesh((2, tp), ("dp", "tp"), platform="cpu")
+    a = np.stack([hollow_random_matrix(n, seed=80 + s) for s in range(2)])
+    inv, ok = sharded_batched_inverse(a, mesh=mesh, block_size=128,
+                                      group_size=3)
+    assert inv.shape == a.shape
+    assert bool(np.all(np.asarray(ok)))
+    for i in range(2):
+        # Raw (no-refine) path at n=768: the BASELINE <=1e-4 gate (the
+        # single-chip raw 4096^2 sits at 3.4e-5 for the same reason).
+        assert relative_residual(a[i], np.asarray(inv)[i]) < 1e-4
+
+
 def test_sharded_solve():
     """solve() through the sharded method (VERDICT r3 #3): the mesh
     inverse feeds the solve GEMM; the result must solve the system."""
