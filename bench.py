@@ -366,6 +366,11 @@ def main() -> None:
         "cholesky_potri_4096_mfu": round(
             gflops_potri_eff / 1e3 / peak_tflops, 3),
         "mfu_target_met": bool(gflops_raw_eff / 1e3 / peak_tflops >= 0.60),
+        # The gate splits by algorithm (DESIGN.md 6i): potri (no pivot
+        # chain) is where >=0.60 is reachable and met; blocked pivoted GJ
+        # is formally retired by the mfu_ceiling accounting above.
+        "mfu_target_met_potri": bool(
+            gflops_potri_eff / 1e3 / peak_tflops >= 0.60),
         "sharded_4096_ms_single_call_1dev": round(t_sharded * 1e3, 1),
         "sharded_vs_blocked_single_call": round(
             t_sharded / max(t_raw_single, 1e-9), 2),

@@ -184,6 +184,10 @@ def main(argv=None):
     ap.add_argument("--precision", default="highest")
     ap.add_argument("--k", type=int, default=3)
     args = ap.parse_args(argv)
+    # Persistent compile cache: 69 s cold -> ~1 s warm through the axon
+    # tunnel (CLAUDE.md TPU-driver rule; bench.py/sweep do the same).
+    from gpu_matrix_inversion_tpu.utils.config import enable_compile_cache
+    enable_compile_cache()
     phases = measure_phases(args.n, block_size=args.block_size,
                             precision=args.precision, k=args.k)
     for key, val in phases.items():

@@ -463,12 +463,16 @@ def _default_group_size(b: int, num_panels: int | None = None) -> int:
 
     Without ``num_panels`` (callers that size groups before the panel count
     is known: lu, sharded, phases) the r3 rule stands: composite width
-    gw = group*b ~ 1536 columns independent of b. With it, the round-4
-    rule from the v2-kernel re-sweep (v5e, amortized): the sweet spot is
-    size-dependent — 4096^2 gw=1024 (12.42 ms vs 13.05 at 1536 / 13.84 at
-    2048 / 15.5 at 512), 8192^2 gw=2048 (101.0 vs 105.2/105.7), 16384^2
-    b=64 keeps gw=1536 (741 ms vs 792 at 1024 / 851 at 2048) — and at
-    m <= 8192 a group that DIVIDES the panel count is preferred: the
+    gw = group*b ~ 1536 columns independent of b. With it, the round-5
+    rule (v5e, amortized, post the 6e.3 barrier/unroll fix): gw=1024 at
+    every size — 4096^2 12.42 ms vs 13.05 at gw=1536 / 13.84 at 2048
+    (r4); 8192^2 85.6 ms at gw=1024 vs 97.7 at the old gw=2048 default /
+    136.2 at 4096 (r5 same-window); 16384^2 b=64 single-call 603.5 ms at
+    gw=1024 vs 617.1 at the old gw=1536 / 783.6 at 2048 (r5 same-window
+    interleaved — the r4 "1536 at 16384" reading, 741 vs 792, predated
+    the in-place fix, which re-priced groups; gw=1024 is also tail-free
+    there: 256 panels / 16). At m <= 8192 a group that DIVIDES the panel
+    count is preferred: the
     unrolled tail group after the ``fori_loop`` otherwise costs ~1.2 ms of
     whole-(m, 2m)-buffer layout-conversion copies at the loop boundary
     (DESIGN.md 6e; proportionally irrelevant by 16384). Wider groups push
@@ -482,7 +486,7 @@ def _default_group_size(b: int, num_panels: int | None = None) -> int:
     if num_panels is None:
         return max(4, 1536 // bb)
     m = num_panels * b
-    target_gw = 1024 if m <= 4096 else (2048 if m <= 8192 else 1536)
+    target_gw = 1024
     target = max(4, target_gw // bb)
     if num_panels <= target or m > 8192:
         return target
@@ -1021,7 +1025,7 @@ def _blocked_gj(a: jax.Array, *, pivot: bool, b: int, use_pallas: bool,
     # inverse column pos[t] (and inverse row g lives at physical row
     # pos[g]), so gather columns by the inverse permutation of pos, then
     # rows by pos -- two gathers replacing the classic layout's one.
-    slots = lax.dynamic_slice(aug, (_i0, np.int32(m)), (m, m))
+    slots = lax.slice(aug, (0, m), (m, 2 * m))
     invpos = jnp.zeros((m,), jnp.int32).at[pos].set(
         lax.broadcasted_iota(jnp.int32, (m,), 0))
     inv = jnp.take(jnp.take(slots, invpos, axis=1), pos, axis=0)[:n, :n]

@@ -263,7 +263,7 @@ def _unpermute(aug_out, pos, m: int, n: int):
     """Slot half -> inverse: columns by the inverse permutation of pos,
     rows by pos (see ops/blocked.py). Under column sharding the column
     gather is a mesh permutation; XLA lowers it to collectives."""
-    slots = lax.dynamic_slice(aug_out, (_i0, np.int32(m)), (m, m))
+    slots = lax.slice(aug_out, (0, m), (m, 2 * m))
     invpos = jnp.zeros((m,), jnp.int32).at[pos].set(
         lax.broadcasted_iota(jnp.int32, (m,), 0))
     return jnp.take(jnp.take(slots, invpos, axis=1), pos, axis=0)[:n, :n]

@@ -108,8 +108,8 @@ def test_default_group_size_divides_panels():
     from gpu_matrix_inversion_tpu.ops.blocked import _default_group_size
 
     assert _default_group_size(128, 32) == 8      # 4096^2: gw=1024, no tail
-    assert _default_group_size(128, 64) == 16     # 8192^2: gw=2048, no tail
-    assert _default_group_size(64, 256) == 24     # 16384^2 b=64: gw=1536
+    assert _default_group_size(128, 64) == 8      # 8192^2: gw=1024 (r5 retune)
+    assert _default_group_size(64, 256) == 16     # 16384^2 b=64: gw=1024 (r5)
     assert _default_group_size(128, 16) == 8      # 2048^2: divides
     assert 32 % _default_group_size(128, 32) == 0
     # Legacy callers without a panel count keep the r3 rule.
