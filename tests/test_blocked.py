@@ -115,3 +115,35 @@ def test_default_group_size_divides_panels():
     # Legacy callers without a panel count keep the r3 rule.
     assert _default_group_size(128) == 12
     assert _default_group_size(64) == 24
+
+
+def test_fp64_panel_f32_search_matches_logical():
+    """VERDICT r4 #4 tier (DESIGN.md 6h.3): the f32 Pallas pivot search
+    feeding the algebraic f64 panel assembly must pick the same pivots and
+    produce a bit-identical composite transform as the pure-logical f64
+    route on generic (tie-free) inputs -- the downstream algebra is shared,
+    only the search differs."""
+    import jax.numpy as jnp
+    from gpu_matrix_inversion_tpu.ops.blocked import _factor_panel
+    rng = np.random.default_rng(7)
+    m, b = 256, 64
+    strip = jnp.asarray(rng.standard_normal((m, b)), dtype=jnp.float64)
+    used = jnp.zeros((m, 1), jnp.float32)
+    common = dict(m=m, b=b, dtype=jnp.float64, pivot=True, use_pallas=False,
+                  interpret=True, search_bf16=False, emit=False)
+    p1, c1, ok1 = _factor_panel(strip, jnp.int32(0), used, **common,
+                                search_f32=True)
+    p2, c2, ok2 = _factor_panel(strip, jnp.int32(0), used, **common,
+                                search_f32=False)
+    assert bool(ok1) and bool(ok2)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    # A later panel, with the first panel's rows consumed.
+    used2 = used.at[np.asarray(p1)].set(1.0)
+    p3, c3, ok3 = _factor_panel(strip, jnp.int32(b), used2, **common,
+                                search_f32=True)
+    p4, c4, ok4 = _factor_panel(strip, jnp.int32(b), used2, **common,
+                                search_f32=False)
+    assert bool(ok3) and bool(ok4)
+    np.testing.assert_array_equal(np.asarray(p3), np.asarray(p4))
+    np.testing.assert_array_equal(np.asarray(c3), np.asarray(c4))

@@ -1,6 +1,7 @@
 """Tests of the blocked LU path (fast getrf/getrs/getri) against the spec
 implementation and numpy."""
 
+import jax.numpy as jnp
 import numpy as np
 
 from gpu_matrix_inversion_tpu.ops.lu import (
@@ -283,3 +284,50 @@ def test_getri_trtri_fp64():
     assert bool(ok)
     err = np.abs(np.asarray(inv) @ a - np.eye(200)).max()
     assert err < 1e-11
+
+
+def test_trtri_canvas_matches_stack():
+    """Round-5 default: the in-place canvas assembly of the bisection
+    levels (DESIGN.md 6h.2a) must be bit-identical to the stack/concat
+    rebuild it replaced -- same per-pair GEMMs, same HIGHEST precision,
+    only the level plumbing differs."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.ops.lu import _trtri_blocked_2d
+    rng = np.random.default_rng(5)
+    n = 300  # non-power order: exercises the identity padding too
+    low = (np.tril(rng.standard_normal((n, n)).astype(np.float32))
+           + 4 * np.eye(n, dtype=np.float32))
+    for lower, unit in ((True, False), (False, True),
+                        (True, True), (False, False)):
+        t = low if lower else np.ascontiguousarray(low.T)
+        a = _trtri_blocked_2d(jnp.asarray(t), lower=lower,
+                              unit_diagonal=unit, b=64, canvas=True)
+        s = _trtri_blocked_2d(jnp.asarray(t), lower=lower,
+                              unit_diagonal=unit, b=64, canvas=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(s))
+
+
+def test_getri_product_left_transposed():
+    """Round-5 potri product (DESIGN.md 6h.2b): contracting on ``left``'s
+    row axis must equal multiplying by the materialized transpose, up to
+    f32 contraction-order rounding, in both 2-D and batched forms."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.ops.lu import _getri_product
+    rng = np.random.default_rng(13)
+    n = 200
+    linv = np.tril(rng.standard_normal((n, n))).astype(np.float32)
+    left = rng.standard_normal((n, n)).astype(np.float32)
+    r1 = np.asarray(_getri_product(jnp.asarray(left), jnp.asarray(linv),
+                                   left_transposed=True))
+    r2 = np.asarray(_getri_product(
+        jnp.asarray(np.ascontiguousarray(left.T)), jnp.asarray(linv)))
+    np.testing.assert_allclose(r1, r2, rtol=1e-5, atol=1e-3)
+    bl = rng.standard_normal((3, n, n)).astype(np.float32)
+    blinv = np.tril(rng.standard_normal((n, n))).astype(np.float32)
+    blinv = np.repeat(blinv[None], 3, axis=0)
+    r3 = np.asarray(_getri_product(jnp.asarray(bl), jnp.asarray(blinv),
+                                   left_transposed=True))
+    r4 = np.asarray(_getri_product(
+        jnp.asarray(np.ascontiguousarray(np.swapaxes(bl, 1, 2))),
+        jnp.asarray(blinv)))
+    np.testing.assert_allclose(r3, r4, rtol=1e-5, atol=1e-3)
