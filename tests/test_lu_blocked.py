@@ -331,3 +331,28 @@ def test_getri_product_left_transposed():
         jnp.asarray(np.ascontiguousarray(np.swapaxes(bl, 1, 2))),
         jnp.asarray(blinv)))
     np.testing.assert_allclose(r3, r4, rtol=1e-5, atol=1e-3)
+
+
+def test_getri_product_left_triangular():
+    """The 2-D double-triangular tiling (k0 = max(i0, j0)) must equal the
+    column-chunked form exactly on inputs with true triangular structure
+    -- the skipped tiles are exact zeros, so only GEMM association at the
+    chunk boundaries differs."""
+    import numpy as np
+    from gpu_matrix_inversion_tpu.ops.lu import _getri_product
+    rng = np.random.default_rng(29)
+    n = 320  # non-multiple of both chunk sizes
+    up = np.triu(rng.standard_normal((n, n))).astype(np.float32)
+    lo = np.tril(rng.standard_normal((n, n))).astype(np.float32)
+    ref = np.asarray(_getri_product(jnp.asarray(up), jnp.asarray(lo)))
+    new = np.asarray(_getri_product(jnp.asarray(up), jnp.asarray(lo),
+                                    left_triangular=True, chunk=128,
+                                    rchunk=192))
+    np.testing.assert_allclose(new, ref, rtol=1e-5, atol=1e-3)
+    reft = np.asarray(_getri_product(jnp.asarray(lo), jnp.asarray(lo),
+                                     left_transposed=True))
+    newt = np.asarray(_getri_product(jnp.asarray(lo), jnp.asarray(lo),
+                                     left_transposed=True,
+                                     left_triangular=True, chunk=128,
+                                     rchunk=192))
+    np.testing.assert_allclose(newt, reft, rtol=1e-5, atol=1e-3)
